@@ -1,0 +1,290 @@
+"""SLAM filter configuration.
+
+TPU-native re-design of the reference's config system
+(/root/reference/src/main.cpp:956-1073 ``loadConfig`` and
+/root/reference/src/slamtypes.h:142-250 ``SlamConfig``).
+
+Differences from the reference (deliberate, see SURVEY.md §7.3):
+
+* The reference maps ``initial_vz``/``initial_vroll``/``initial_vpitch`` onto the
+  wrong struct fields (main.cpp:970-972); here they map to the right ones.
+* Capacity limits (``max_features``/K_max, ``max_measurements``/M_max) are
+  enforced: they size the fixed-capacity device arrays that replace the
+  reference's ragged per-particle ``std::vector`` maps.
+* ``clutterDensity`` is derived exactly as in the reference:
+  ``clutter_rate / (2 * max_bearing * max_range)`` (main.cpp:1064-1066).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+from typing import Optional
+
+
+@dataclasses.dataclass
+class SlamConfig:
+    # -- debug
+    debug: bool = False
+
+    # -- initial vehicle state (main.cpp:958-969)
+    x0: float = 0.0
+    y0: float = 0.0
+    z0: float = 0.0
+    roll0: float = 0.0
+    pitch0: float = 0.0
+    yaw0: float = 0.0
+    vx0: float = 0.0
+    vy0: float = 0.0
+    vz0: float = 0.0
+    vroll0: float = 0.0
+    vpitch0: float = 0.0
+    vyaw0: float = 0.0
+
+    follow_trajectory: bool = False
+    motion_type: int = 1  # 0 = constant velocity, 1 = Ackerman steering
+
+    # -- vehicle CV process noise (std of accelerations)
+    ax: float = 0.5
+    ay: float = 0.0
+    az: float = 0.0
+    aroll: float = 0.0087
+    apitch: float = 0.0087
+    ayaw: float = 0.0087
+
+    dt: float = 0.1
+
+    # -- range-bearing sensor
+    max_bearing: float = math.pi
+    min_range: float = 0.0
+    max_range: float = 20.0
+    std_bearing: float = 0.0524
+    std_range: float = 1.0
+    clutter_rate: float = 15.0
+    pd: float = 0.98
+
+    # -- feature survival / motion
+    ps: float = 0.98
+    std_vx_map: float = 0.0   # constant-position model process noise
+    std_vy_map: float = 0.0
+    std_ax_map: float = 0.0   # constant-velocity feature model process noise
+    std_ay_map: float = 0.0
+    cov_vx_birth: float = 0.0
+    cov_vy_birth: float = 0.0
+
+    # -- jump-markov (mixed model) params
+    tau: float = 0.0
+    beta: float = 1.0
+
+    # -- particle filter
+    n_particles: int = 512
+    n_predict_particles: int = 1
+    subdivide_predict: int = 1
+    resample_threshold: float = 0.15
+
+    # -- PHD parameters
+    birth_weight: float = 0.05
+    birth_noise_factor: float = 1.5
+    gate_births: bool = True          # parsed but unused in live path (parity)
+    gate_measurements: bool = True    # parsed but unused in live path (parity)
+    gate_threshold: float = 10.0
+    feature_model: int = 0            # 0 static / 1 dynamic / 2 mixed
+    min_expected_feature_weight: float = 0.33
+    min_separation: float = 5.0
+    max_features: int = 100
+    min_feature_weight: float = 1e-5
+    particle_weighting: int = 1       # 0 cluster-process, 1 Vo empty-map
+    daughter_mixture_type: int = 0
+    n_samples: int = 50               # MC samples for the variance estimator
+    max_cardinality: int = 256
+    filter_type: int = 1              # 0 = PHD, 1 = CPHD
+    map_estimate: int = 1             # bit 0 = MAP, bit 1 = EAP
+    cphd_dist_type: int = 0
+    nu: float = 1.0
+    distance_metric: int = 0          # 0 = Mahalanobis, 1 = Hellinger
+    labeled_measurements: bool = False
+
+    # -- Ackerman vehicle geometry
+    h: float = 0.0
+    l: float = 0.0
+    a: float = 0.0
+    b: float = 0.0
+    std_encoder: float = 0.0
+    std_alpha: float = 0.0
+
+    # -- camera / disparity (SC-PHD) pipeline
+    std_u: float = 1.0
+    std_v: float = 1.0
+    disparity_birth: float = 1000.0
+    image_width: int = 600
+    image_height: int = 480
+    std_d_birth: float = 300.0
+    fx: float = 1000.0
+    fy: float = 1000.0
+    u0: float = 512.0
+    v0: float = 384.0
+    particles_per_feature: int = 100
+
+    # -- run control
+    data_directory: str = "data/"
+    max_time_steps: int = 10000
+    save_all_maps: bool = False
+    save_prediction: bool = False
+    n_steps: int = -1
+
+    # -- TPU-native additions (fixed-capacity array sizing; no reference
+    #    counterpart: the reference uses ragged vectors + thrust compaction)
+    max_measurements: int = 64        # M_max: measurements per scan (ref clamps at 256, phdfilter.cu:3389-3394)
+    dtype: str = "float32"
+    seed: int = 0
+
+    # ------------------------------------------------------------------
+    @property
+    def clutter_density(self) -> float:
+        # main.cpp:1064-1066
+        return self.clutter_rate / (2.0 * self.max_bearing * self.max_range)
+
+    @property
+    def max_components(self) -> int:
+        """K_max — per-particle GM capacity (reference: max_features)."""
+        return self.max_features
+
+
+# Mapping from reference config-file option names to SlamConfig field names.
+_OPTION_MAP = {
+    "debug": "debug",
+    "initial_x": "x0",
+    "initial_y": "y0",
+    "initial_z": "z0",
+    "initial_roll": "roll0",
+    "initial_pitch": "pitch0",
+    "initial_yaw": "yaw0",
+    "initial_vx": "vx0",
+    "initial_vy": "vy0",
+    "initial_vz": "vz0",          # ref bug: wrote vy0 (main.cpp:970)
+    "initial_vroll": "vroll0",    # ref bug: wrote vyaw0 (main.cpp:971)
+    "initial_vpitch": "vpitch0",  # ref bug: wrote vyaw0 (main.cpp:972)
+    "initial_vyaw": "vyaw0",
+    "initial_theta": "yaw0",
+    "initial_vtheta": "vyaw0",
+    "follow_trajectory": "follow_trajectory",
+    "motion_type": "motion_type",
+    "acc_x": "ax",
+    "acc_y": "ay",
+    "acc_z": "az",
+    "acc_roll": "aroll",
+    "acc_pitch": "apitch",
+    "acc_yaw": "ayaw",
+    "acc_theta": "ayaw",
+    "dt": "dt",
+    "max_bearing": "max_bearing",
+    "min_range": "min_range",
+    "max_range": "max_range",
+    "std_bearing": "std_bearing",
+    "std_range": "std_range",
+    "clutter_rate": "clutter_rate",
+    "pd": "pd",
+    "ps": "ps",
+    "n_particles": "n_particles",
+    "n_predict_particles": "n_predict_particles",
+    "resample_threshold": "resample_threshold",
+    "subdivide_predict": "subdivide_predict",
+    "birth_weight": "birth_weight",
+    "birth_noise_factor": "birth_noise_factor",
+    "gate_births": "gate_births",
+    "gated_births": "gate_births",
+    "gate_measurements": "gate_measurements",
+    "gate_threshold": "gate_threshold",
+    "feature_model": "feature_model",
+    "min_expected_feature_weight": "min_expected_feature_weight",
+    "min_separation": "min_separation",
+    "max_features": "max_features",
+    "min_feature_weight": "min_feature_weight",
+    "particle_weighting": "particle_weighting",
+    "daughter_mixture_type": "daughter_mixture_type",
+    "n_samples": "n_samples",
+    "max_cardinality": "max_cardinality",
+    "filter_type": "filter_type",
+    "map_estimate": "map_estimate",
+    "cphd_disttype": "cphd_dist_type",
+    "nu": "nu",
+    "distance_metric": "distance_metric",
+    "h": "h",
+    "l": "l",
+    "a": "a",
+    "b": "b",
+    "std_encoder": "std_encoder",
+    "std_alpha": "std_alpha",
+    "std_vx_features": "std_vx_map",
+    "std_vy_features": "std_vy_map",
+    "std_ax_features": "std_ax_map",
+    "std_ay_features": "std_ay_map",
+    "cov_vx_birth": "cov_vx_birth",
+    "cov_vy_birth": "cov_vy_birth",
+    "std_u": "std_u",
+    "std_v": "std_v",
+    "disparity_birth": "disparity_birth",
+    "image_width": "image_width",
+    "image_height": "image_height",
+    "std_d_birth": "std_d_birth",
+    "fx": "fx",
+    "fy": "fy",
+    "u0": "u0",
+    "v0": "v0",
+    "particles_per_feature": "particles_per_feature",
+    "tau": "tau",
+    "beta": "beta",
+    "labeled_measurements": "labeled_measurements",
+    "data_directory": "data_directory",
+    "max_time_steps": "max_time_steps",
+    "save_all_maps": "save_all_maps",
+    "save_prediction": "save_prediction",
+    "n_steps": "n_steps",
+    # TPU-native extras
+    "max_measurements": "max_measurements",
+    "dtype": "dtype",
+    "seed": "seed",
+}
+
+_LINE_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*?)\s*$")
+
+
+def _coerce(field_type, raw: str):
+    if field_type is bool:
+        return raw.strip().lower() in ("1", "true", "yes", "on")
+    if field_type is int:
+        return int(float(raw))
+    if field_type is float:
+        return float(raw)
+    return raw
+
+
+def load_config(path: str, overrides: Optional[dict] = None) -> SlamConfig:
+    """Parse a reference-format config file (``key = value``, ``#`` comments).
+
+    Compatible with the boost::program_options config files shipped with the
+    reference (/root/reference/cfg/config.cfg). Unknown keys are ignored with
+    a warning, matching program_options' permissive behavior for commented
+    defaults.
+    """
+    cfg = SlamConfig()
+    fields = {f.name: f.type for f in dataclasses.fields(SlamConfig)}
+    with open(path, "r") as fh:
+        for line in fh:
+            line = line.split("#", 1)[0]
+            m = _LINE_RE.match(line)
+            if not m:
+                continue
+            key, raw = m.group(1), m.group(2)
+            name = _OPTION_MAP.get(key)
+            if name is None:
+                continue
+            ftype = fields[name]
+            if isinstance(ftype, str):  # from __future__ annotations
+                ftype = {"bool": bool, "int": int, "float": float, "str": str}[ftype]
+            setattr(cfg, name, _coerce(ftype, raw))
+    if overrides:
+        for k, v in overrides.items():
+            setattr(cfg, k, v)
+    return cfg

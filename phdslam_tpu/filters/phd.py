@@ -1,0 +1,311 @@
+"""Rao-Blackwellized GM-PHD SLAM filter — the TPU-native core.
+
+Functional re-design of the reference filter engine
+(/root/reference/src/phdfilter.cu): one pure, jit-able ``step`` that runs
+vehicle prediction, map prediction, the GM-PHD measurement update, state
+extraction and resampling on device-resident fixed-capacity state
+(SURVEY.md §7.1). The per-particle update is written as a single-particle
+function and vmapped over the particle axis (reference parallelism P1/P2/P3,
+SURVEY.md §2.4), which XLA fuses into large batched VPU ops.
+
+Reference call-stack parity (SURVEY.md §3.3 ``phdUpdateSynth``):
+  concat maps            -> fixed-capacity [P, K] arrays (no concat needed)
+  computeInRangeKernel   -> models.measurement.classify_in_range (masks)
+  host birth loop        -> models.measurement.birth_mean_cov (batched)
+  preUpdateSynthKernel   -> ops.ekf.ekf_preupdate / ekf_detection_terms
+  phdUpdateKernel        -> _update_single (normalizers, weights, prune mask)
+  pruneMap + merge       -> ops.gm_merge.gm_merge (bounded while_loop)
+  re-attach out-of-range -> masked top-K compaction
+  logSumExp normalize    -> jnp over the particle axis (psum when sharded)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..models import feature_motion, measurement, vehicle
+from ..ops import ekf
+from ..ops.gm_merge import gm_merge
+from ..ops.math import LOG0, logsumexp, safe_log
+from ..ops.resample import effective_sample_ratio, systematic_ancestors
+from ..types import FilterState, GMState
+
+
+class StepOutputs(NamedTuple):
+    expected_pose: jax.Array      # [6]
+    map_mean: jax.Array           # [K, D] MAP-particle map (argmax weight)
+    map_cov: jax.Array            # [K, D, D]
+    map_weight: jax.Array         # [K]
+    n_eff: jax.Array              # scalar normalized nEff
+    resampled: jax.Array          # bool scalar
+    overflow: jax.Array           # merged clusters dropped by capacity
+
+
+# ----------------------------------------------------------------------------
+# Prediction
+# ----------------------------------------------------------------------------
+
+def predict(state: FilterState, control, dt, cfg: SlamConfig,
+            key) -> FilterState:
+    """Vehicle + map prediction (phdPredict, phdfilter.cu:1080-1257).
+
+    The reference host loop calls phdPredict ``subdividePredict`` times with
+    dt/subdividePredict each (main.cpp:1244-1250, phdfilter.cu:808).
+    """
+    pose = state.pose
+    sub = max(1, cfg.subdivide_predict)
+    dt_sub = dt / sub
+    for i in range(sub):
+        k = jax.random.fold_in(key, i)
+        if cfg.motion_type == 0:  # CV_MOTION
+            # host noise uses 3x the configured accel stds (phdfilter.cu:1113-1117)
+            noise_std = (3.0 * cfg.ax, 3.0 * cfg.ay, 3.0 * cfg.ayaw)
+            pose = vehicle.cv_predict(pose, noise_std, dt_sub, k)
+        else:  # ACKERMAN_MOTION
+            geom = (cfg.l, cfg.h, cfg.a, cfg.b)
+            noise_std = (cfg.std_encoder, cfg.std_alpha)
+            pose = vehicle.ackerman_predict(pose, control, geom, noise_std,
+                                            dt_sub, k)
+
+    state = state.replace(pose=pose)
+
+    # map (feature) prediction for dynamic/mixed models
+    # (predictMapMixed, phdfilter.cu:965-1035)
+    if cfg.feature_model in (1, 2):
+        dyn = state.map_dynamic
+        (m_new, c_new, w_new), _jump = feature_motion.mixed_model_predict(
+            dyn.mean, dyn.cov, dyn.weight, cfg, dt)
+        # the reference computes jump copies but leaves their static-map
+        # injection commented out (phdfilter.cu:1009-1014); match that.
+        state = state.replace(
+            map_dynamic=GMState(mean=m_new, cov=c_new, weight=w_new))
+    return state
+
+
+# ----------------------------------------------------------------------------
+# Per-particle GM-PHD measurement update
+# ----------------------------------------------------------------------------
+
+def _update_single(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig):
+    """Single-particle GM-PHD update (phdUpdateKernel, phdfilter.cu:2083-2321).
+
+    Returns (new_mean, new_cov, new_weight, dlog_w, overflow).
+    Shapes: mean [K, D], cov [K, D, D], weight [K], z [M, 2], z_mask [M].
+    """
+    K, D = mean.shape
+    M = z.shape[0]
+    dtype = mean.dtype
+
+    cls = measurement.classify_in_range(pose, mean, weight, cfg)
+    in_m = cls == measurement.IN_RANGE
+    near_m = cls == measurement.NEARLY_IN_RANGE
+    out_m = (cls == measurement.OUT_OF_RANGE) & (weight > 0)
+
+    pre = ekf.ekf_preupdate(pose, mean, cov, cfg)
+    mean_det, logw_part, _ = ekf.ekf_detection_terms(pre, mean, weight, z, cfg)
+
+    det_valid = z_mask[:, None] & in_m[None, :]
+    logw_part = jnp.where(det_valid, logw_part, LOG0)
+
+    # per-measurement normalizer: sum exp(partial) + clutterDensity + birthWeight
+    # (phdfilter.cu:2190-2223)
+    log_cd = jnp.full((M, 1), safe_log(cfg.clutter_density), dtype=dtype)
+    log_bw = jnp.full((M, 1), safe_log(cfg.birth_weight), dtype=dtype)
+    all_logw = jnp.concatenate([logw_part, log_cd, log_bw], axis=1)
+    mmax = jnp.max(all_logw, axis=1, keepdims=True)
+    log_norm = jnp.squeeze(mmax, 1) + jnp.log(
+        jnp.sum(jnp.exp(all_logw - mmax), axis=1))          # [M]
+
+    # non-detection terms (linear weights, phdfilter.cu:2136-2141)
+    w_nd = jnp.where(in_m, weight * (1.0 - pre.pd), 0.0)
+    # detection terms, normalized (phdfilter.cu:2290-2299)
+    w_det = jnp.where(det_valid, jnp.exp(logw_part - log_norm[:, None]), 0.0)
+    # birth terms (phdfilter.cu:2250-2253, 2290-2299)
+    b_mean, b_cov = measurement.birth_mean_cov(pose, z, cfg)
+    if D == 4:
+        b_mean, b_cov = measurement.birth_mean_cov_4d(pose, z, cfg)
+    w_birth = jnp.where(
+        z_mask, jnp.exp(safe_log(cfg.birth_weight) - log_norm), 0.0)
+
+    n_valid_z = jnp.sum(z_mask.astype(dtype))
+
+    # particle weighting (phdfilter.cu:2256-2305)
+    if cfg.particle_weighting == 0:
+        # cluster-process: sum log normalizers - predicted cardinality,
+        # where the predicted cardinality includes pd-scaled persistent
+        # weights and one birthWeight per measurement (:2186, 2260-2263)
+        card_pred = jnp.sum(jnp.where(in_m, pre.pd * weight, 0.0)) \
+            + n_valid_z * cfg.birth_weight
+        dlog_w = jnp.sum(jnp.where(z_mask, log_norm, 0.0)) - card_pred
+    else:
+        # Vo empty-map weighting (:2264-2280)
+        cn_predict = jnp.sum(jnp.where(in_m, weight, 0.0))
+        cn_update = jnp.sum(w_nd) + jnp.sum(w_det) + jnp.sum(w_birth)
+        dlog_w = n_valid_z * cfg.clutter_density + cn_update - cn_predict \
+            - cfg.clutter_rate
+
+    # prune flags (weight < minFeatureWeight, phdfilter.cu:2307-2319);
+    # nearly-in-range features are never pruned (flags reset before merge,
+    # phdfilter.cu:3271-3273)
+    min_fw = cfg.min_feature_weight
+    act_a = (in_m & (w_nd >= min_fw)) | near_m
+    w_a = jnp.where(in_m, w_nd, jnp.where(near_m, weight, 0.0))
+    act_b = det_valid & (w_det >= min_fw)
+    act_c = z_mask & (w_birth >= min_fw)
+
+    # merge candidate set: [K persistent | M*K detections | M births]
+    cand_mean = jnp.concatenate(
+        [mean, mean_det.reshape(M * K, D), b_mean], axis=0)
+    cand_cov = jnp.concatenate(
+        [cov,
+         jnp.broadcast_to(pre.cov_upd[None], (M, K, D, D)).reshape(M * K, D, D),
+         b_cov], axis=0)
+    cand_w = jnp.concatenate([w_a, w_det.reshape(M * K), w_birth], axis=0)
+    cand_act = jnp.concatenate([act_a, act_b.reshape(M * K), act_c], axis=0)
+
+    mg_mean, mg_cov, mg_w, n_merged, n_dropped = gm_merge(
+        cand_mean, cand_cov, cand_w, cand_act,
+        cfg.min_separation, K, cfg.distance_metric)
+
+    # recombine with untouched out-of-range features (phdfilter.cu:3311-3318)
+    all_mean = jnp.concatenate([mg_mean, mean], axis=0)
+    all_cov = jnp.concatenate([mg_cov, cov], axis=0)
+    all_w = jnp.concatenate([mg_w, jnp.where(out_m, weight, 0.0)], axis=0)
+
+    # top-K compaction by weight (overflow -> lowest-weight drop; the
+    # reference has no capacity, so surface overflow for diagnostics)
+    order = jnp.argsort(-all_w)[:K]
+    new_mean = all_mean[order]
+    new_cov = all_cov[order]
+    new_w = all_w[order]
+    # restore identity covariance on empty slots
+    empty = new_w <= 0
+    new_cov = jnp.where(empty[:, None, None], jnp.eye(D, dtype=dtype), new_cov)
+    new_mean = jnp.where(empty[:, None], 0.0, new_mean)
+    new_w = jnp.where(empty, 0.0, new_w)
+
+    total_live = jnp.sum((all_w > 0).astype(jnp.int32))
+    overflow = jnp.maximum(total_live - K, 0) + n_dropped
+    return new_mean, new_cov, new_w, dlog_w, overflow
+
+
+def update(state: FilterState, z, z_mask, cfg: SlamConfig):
+    """Measurement update over all particles (phdUpdateSynth, :3336-3761)."""
+    if cfg.feature_model == 0:
+        gm = state.map_static
+    elif cfg.feature_model == 1:
+        gm = state.map_dynamic
+    else:
+        raise NotImplementedError("mixed model update: see filters/mixed.py")
+
+    upd = jax.vmap(
+        lambda p, m, c, w: _update_single(p, m, c, w, z, z_mask, cfg)
+    )(state.pose, gm.mean, gm.cov, gm.weight)
+    new_mean, new_cov, new_w, dlog_w, overflow = upd
+
+    log_w = state.log_weight + dlog_w
+    log_w = log_w - logsumexp(log_w, axis=0)  # (phdfilter.cu:3748-3755)
+
+    new_gm = GMState(mean=new_mean, cov=new_cov, weight=new_w)
+    if cfg.feature_model == 0:
+        state = state.replace(map_static=new_gm, log_weight=log_w)
+    else:
+        state = state.replace(map_dynamic=new_gm, log_weight=log_w)
+    return state, jnp.max(overflow)
+
+
+# ----------------------------------------------------------------------------
+# Extraction + resampling
+# ----------------------------------------------------------------------------
+
+def extract(state: FilterState, cfg: SlamConfig):
+    """Expected pose + MAP map (recoverSlamState, main.cpp:318-451)."""
+    w = jnp.exp(state.log_weight)
+    expected_pose = jnp.einsum("p,pd->d", w, state.pose)
+    max_idx = jnp.argmax(state.log_weight)
+    gm = state.map_static if cfg.feature_model == 0 else state.map_dynamic
+    return expected_pose, (gm.mean[max_idx], gm.cov[max_idx],
+                           gm.weight[max_idx])
+
+
+def _gather_particles(state: FilterState, idx) -> FilterState:
+    """Gather full per-particle state along the particle axis (copy_particles,
+    slamtypes.h:313-333)."""
+    take = lambda x: jnp.take(x, idx, axis=0)
+    return state.replace(
+        pose=take(state.pose),
+        log_weight=take(state.log_weight),
+        map_static=jax.tree.map(take, state.map_static),
+        map_dynamic=jax.tree.map(take, state.map_dynamic),
+        variance=take(state.variance),
+        cardinality=(None if state.cardinality is None
+                     else take(state.cardinality)),
+    )
+
+
+def maybe_resample(state: FilterState, has_measurements, cfg: SlamConfig,
+                   key):
+    """Resample when nEff/N <= threshold and this step had measurements
+    (main.cpp:1281-1297)."""
+    P = state.pose.shape[0]
+    n_eff = effective_sample_ratio(state.log_weight)
+    do_resample = (n_eff <= cfg.resample_threshold) & has_measurements
+
+    ancestors = systematic_ancestors(state.log_weight, key, P)
+    identity = jnp.arange(P, dtype=jnp.int32)
+    idx = jnp.where(do_resample, ancestors, identity)
+
+    state = _gather_particles(state, idx)
+    log_w = jnp.where(
+        do_resample,
+        jnp.full((P,), -jnp.log(float(P)), dtype=state.log_weight.dtype),
+        state.log_weight)
+    state = state.replace(log_weight=log_w, resample_idx=idx)
+    return state, n_eff, do_resample
+
+
+# ----------------------------------------------------------------------------
+# Full step
+# ----------------------------------------------------------------------------
+
+def phd_step(state: FilterState, z, z_mask, control, dt, do_predict,
+             cfg: SlamConfig):
+    """One full filter step: predict -> update -> extract -> resample.
+
+    Mirrors the per-step body of run_synth (main.cpp:1178-1312). ``z`` is
+    padded to [M_max, 2] with ``z_mask`` marking real measurements;
+    ``do_predict`` gates vehicle prediction (step 0 has no motion).
+    """
+    key = jax.random.fold_in(state.rng, state.step)
+    k_pred, k_res = jax.random.split(key)
+
+    predicted = predict(state, control, dt, cfg, k_pred)
+    state = jax.tree.map(
+        lambda a, b: jnp.where(do_predict, a, b), predicted, state)
+
+    has_z = jnp.any(z_mask)
+    updated, overflow = update(state, z, z_mask, cfg)
+    state = jax.tree.map(lambda a, b: jnp.where(has_z, a, b), updated, state)
+    overflow = jnp.where(has_z, overflow, 0)
+
+    expected_pose, (mm, mc, mw) = extract(state, cfg)
+    state, n_eff, resampled = maybe_resample(state, has_z, cfg, k_res)
+    state = state.replace(step=state.step + 1)
+
+    out = StepOutputs(expected_pose=expected_pose, map_mean=mm, map_cov=mc,
+                      map_weight=mw, n_eff=n_eff, resampled=resampled,
+                      overflow=overflow)
+    return state, out
+
+
+def make_step_fn(cfg: SlamConfig, donate: bool = True):
+    """Build the jitted step function for a config."""
+    fn = functools.partial(phd_step, cfg=cfg)
+    if donate:
+        return jax.jit(fn, donate_argnums=(0,))
+    return jax.jit(fn)

@@ -1,0 +1,106 @@
+"""Greedy moment-matched Gaussian-mixture merge under jit.
+
+TPU-native equivalent of ``phdUpdateMergeKernel`` (phdfilter.cu:2707-2898) and
+the host-side ``reduceGaussianMixture`` (gm_reduce.cpp:57-134). Both reference
+implementations run the same algorithm:
+
+  repeat until no candidates remain:
+    1. pick the unmerged component with the largest weight
+    2. gather every unmerged component within ``min_separation``
+       (Mahalanobis with averaged covariance, or Hellinger)
+    3. emit their moment-matched merge (weight sum, weight-averaged mean,
+       covariance + spread term), symmetrized
+    4. mark them merged
+
+The reference's data-dependent ``while(true)`` becomes a bounded
+``lax.while_loop`` (at most ``out_cap`` emitted clusters), with candidate
+validity expressed as masks instead of stream compaction — no dynamic shapes
+ever reach XLA. The per-iteration work (argmax + N distance evaluations +
+masked moment accumulation) is fully vectorized on the VPU, and the whole
+operation vmaps over the particle axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .math import hellinger2, mahalanobis2, sym
+
+
+def gm_merge(mean, cov, weight, active, min_separation, out_cap,
+             distance_metric=0):
+    """Merge one Gaussian mixture.
+
+    Args:
+      mean:   [N, D]
+      cov:    [N, D, D]
+      weight: [N] linear weights (> 0 for live candidates)
+      active: [N] bool — candidates that participate
+      min_separation: scalar distance threshold
+      out_cap: static int, max merged components to emit
+      distance_metric: 0 = Mahalanobis (squared, averaged cov), 1 = Hellinger
+
+    Returns:
+      (out_mean [out_cap, D], out_cov [out_cap, D, D], out_weight [out_cap],
+       n_merged, n_dropped) — empty slots have weight 0; ``n_dropped`` counts
+       clusters that could not be emitted because ``out_cap`` was reached
+       (the reference has no cap; report it so capacity pressure is visible).
+    """
+    N, D = mean.shape
+    dtype = mean.dtype
+    active = active & (weight > 0)
+
+    out_mean = jnp.zeros((out_cap, D), dtype=dtype)
+    out_cov = jnp.broadcast_to(jnp.eye(D, dtype=dtype), (out_cap, D, D))
+    out_weight = jnp.zeros((out_cap,), dtype=dtype)
+
+    def cond(carry):
+        unmerged, _, _, _, count = carry
+        return jnp.any(unmerged) & (count < out_cap)
+
+    def body(carry):
+        unmerged, o_mean, o_cov, o_w, count = carry
+        w_act = jnp.where(unmerged, weight, -jnp.inf)
+        imax = jnp.argmax(w_act)
+        max_mean = mean[imax]
+        max_cov = cov[imax]
+
+        if distance_metric == 0:
+            dist = mahalanobis2(max_mean[None], max_cov[None], mean, cov)
+        else:
+            dist = hellinger2(max_mean[None], max_cov[None], mean, cov)
+        sel = unmerged & (dist < min_separation)
+        # the principal always merges with itself (distance 0)
+        sel = sel | (jnp.arange(N) == imax)
+        sel = sel & unmerged
+
+        selw = jnp.where(sel, weight, 0.0)
+        W = jnp.sum(selw)
+        W_safe = jnp.maximum(W, 1e-30)
+        mu = jnp.einsum("n,nd->d", selw, mean) / W_safe
+        diff = mu[None, :] - mean                           # [N, D]
+        spread = cov + diff[:, :, None] * diff[:, None, :]  # [N, D, D]
+        cov_m = jnp.einsum("n,nij->ij", selw, spread) / W_safe
+        cov_m = sym(cov_m)
+
+        o_mean = o_mean.at[count].set(mu)
+        o_cov = o_cov.at[count].set(cov_m)
+        o_w = o_w.at[count].set(W)
+        return (unmerged & ~sel, o_mean, o_cov, o_w, count + 1)
+
+    unmerged0 = active
+    carry = (unmerged0, out_mean, out_cov, out_weight,
+             jnp.zeros((), dtype=jnp.int32))
+    unmerged, out_mean, out_cov, out_weight, count = jax.lax.while_loop(
+        cond, body, carry)
+    n_dropped = jnp.sum(unmerged.astype(jnp.int32))
+    return out_mean, out_cov, out_weight, count, n_dropped
+
+
+def gm_merge_batch(mean, cov, weight, active, min_separation, out_cap,
+                   distance_metric=0):
+    """vmap of :func:`gm_merge` over a leading particle axis."""
+    fn = lambda m, c, w, a: gm_merge(m, c, w, a, min_separation, out_cap,
+                                     distance_metric)
+    return jax.vmap(fn)(mean, cov, weight, active)
