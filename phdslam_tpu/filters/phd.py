@@ -168,6 +168,14 @@ def _update_single(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig):
     cand_w = jnp.concatenate([w_a, w_det.reshape(M * K), w_birth], axis=0)
     cand_act = jnp.concatenate([act_a, act_b.reshape(M * K), act_c], axis=0)
 
+    # sanitize inactive candidates: masked lanes can hold non-finite values
+    # (e.g. births from padded zero measurements) and 0 * NaN would poison
+    # the merge's masked reductions
+    eye = jnp.eye(D, dtype=dtype)
+    cand_mean = jnp.where(cand_act[:, None], cand_mean, 0.0)
+    cand_cov = jnp.where(cand_act[:, None, None], cand_cov, eye)
+    cand_w = jnp.where(cand_act, cand_w, 0.0)
+
     mg_mean, mg_cov, mg_w, n_merged, n_dropped = gm_merge(
         cand_mean, cand_cov, cand_w, cand_act,
         cfg.min_separation, K, cfg.distance_metric)

@@ -83,8 +83,10 @@ def birth_mean_cov(pose, z, cfg):
     dy = rng * jnp.sin(theta)
     mean = jnp.stack([pose[..., 0] + dx, pose[..., 1] + dy], axis=-1)
 
-    j0 = dx / rng
-    j1 = dy / rng
+    # clamp so padded (zero) measurement slots stay NaN-free under masking
+    rng_safe = jnp.maximum(rng, 1e-6)
+    j0 = dx / rng_safe
+    j1 = dy / rng_safe
     j2 = -dy
     j3 = dx
     var_r = (cfg.std_range * cfg.birth_noise_factor) ** 2

@@ -1,0 +1,161 @@
+"""Dataset loaders and log writers.
+
+Python implementations of the reference text-format IO
+(/root/reference/src/main.cpp:147-283 loaders, :848-954 ``writeLog``).
+A C++ fast path for bulk text parsing lives in ``runtime/native`` and is used
+automatically when built (the reference's loaders/writers are C++; ours are
+too, with this module as the portable fallback and the padding/packing layer).
+
+Format notes (verified against the shipped datasets):
+* measurements files: one time step per line, header line first; each
+  measurement is a (range, bearing) pair, or (range, bearing, label) when
+  ``labeled == True``. The reference's parser always reads triples
+  (main.cpp:191-207), which silently garbles the shipped pair-format files —
+  a known quirk we do NOT replicate (SURVEY.md §7.3).
+* controls files: header line then ``v_encoder alpha`` per line
+  (main.cpp:169-189).
+* timestamps: one float per line, trailing blank dropped (main.cpp:147-167).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+try:
+    from .native import textio as _native_textio  # built lazily
+except Exception:  # pragma: no cover - native ext optional
+    _native_textio = None
+
+
+def load_measurements(path: str, labeled: bool = False) -> List[np.ndarray]:
+    """Load per-step measurement sets. Returns a list of [n_i, 2] arrays
+    (range, bearing) (+labels column when labeled)."""
+    if _native_textio is not None:
+        return _native_textio.load_measurements(path, labeled)
+    out: List[np.ndarray] = []
+    width = 3 if labeled else 2
+    with open(path) as fh:
+        first = True
+        for line in fh:
+            if first:  # header line (main.cpp:231)
+                first = False
+                continue
+            vals = np.fromstring(line, sep=" ") if line.strip() else np.empty(0)
+            n = (len(vals) // width) * width
+            out.append(vals[:n].reshape(-1, width).astype(np.float32))
+    # the reference drops the trailing empty entry produced by the final
+    # newline (main.cpp:239); replicate by dropping a trailing empty line
+    if out and out[-1].size == 0:
+        out.pop()
+    return out
+
+
+def load_controls(path: str) -> np.ndarray:
+    """Load (v_encoder, alpha) controls; [N, 2] (main.cpp:169-189)."""
+    rows = []
+    with open(path) as fh:
+        first = True
+        for line in fh:
+            if first:
+                first = False
+                continue
+            line = line.replace(",", " ")
+            vals = np.fromstring(line, sep=" ")
+            if len(vals) >= 2:
+                rows.append(vals[:2])
+    return np.asarray(rows, dtype=np.float32) if rows else np.zeros((0, 2),
+                                                                    np.float32)
+
+
+def load_timestamps(path: str) -> np.ndarray:
+    """One float per line; trailing entry dropped (main.cpp:147-167)."""
+    if not os.path.exists(path):
+        return np.zeros((0,), np.float32)
+    vals = []
+    with open(path) as fh:
+        for line in fh:
+            s = line.strip()
+            if s:
+                vals.append(float(s.split()[0]))
+    return np.asarray(vals, dtype=np.float32)
+
+
+def load_trajectory(path: str) -> np.ndarray:
+    """[N, 6] CV states; '%'-prefixed header skipped (main.cpp:246-263)."""
+    rows = []
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("%") or not line.strip():
+                continue
+            vals = np.fromstring(line, sep=" ")
+            if len(vals) >= 6:
+                rows.append(vals[:6])
+    return np.asarray(rows, dtype=np.float32)
+
+
+def pad_measurements(measurements: List[np.ndarray], m_max: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack ragged per-step measurements into fixed [T, M_max, 2] + mask.
+
+    This is the fixed-capacity ingestion boundary (SURVEY.md §5 failure
+    detection): steps with more than m_max measurements are truncated (the
+    reference clamps at 256, phdfilter.cu:3389-3394).
+    """
+    T = len(measurements)
+    z = np.zeros((T, m_max, 2), dtype=np.float32)
+    mask = np.zeros((T, m_max), dtype=bool)
+    for t, zt in enumerate(measurements):
+        n = min(len(zt), m_max)
+        if n > 0:
+            z[t, :n] = zt[:n, :2]
+            mask[t, :n] = True
+    return z, mask
+
+
+# ----------------------------------------------------------------------------
+# state_estimate log writer (main.cpp:848-954) — drop-in compatible with
+# python/batch_analyze.py's parser.
+# ----------------------------------------------------------------------------
+
+def write_state_log(outdir: str, t: int, expected_pose, static_map,
+                    dynamic_map, particle_log_weights, particle_poses,
+                    resample_idx, cardinality, max_cardinality: int,
+                    filter_type: int = 0):
+    """Write ``state_estimateXXXXX.log`` (6-line format, main.cpp:848-954).
+
+    static_map / dynamic_map: (weights[K], means[K,D], covs[K,D,D]) with
+    weight>0 marking live features, or None.
+    """
+    path = os.path.join(outdir, "state_estimate%05d.log" % t)
+    with open(path, "a") as fh:
+        fh.write(" ".join("%g" % v for v in np.asarray(expected_pose))
+                 + " \n")
+        for gm, D in ((static_map, 2), (dynamic_map, 4)):
+            if gm is not None:
+                w, m, c = gm
+                w = np.asarray(w); m = np.asarray(m); c = np.asarray(c)
+                parts = []
+                for i in range(len(w)):
+                    if w[i] <= 0:
+                        continue
+                    parts.append("%g" % w[i])
+                    parts.extend("%g" % v for v in m[i, :D])
+                    # reference writes cov in its flat (column-major-ish)
+                    # struct order; for symmetric matrices row/col order match
+                    parts.extend("%g" % v for v in c[i, :D, :D].reshape(-1))
+                if parts:
+                    fh.write(" ".join(parts) + " ")
+            fh.write("\n")
+        fh.write(" ".join("%g" % v for v in np.asarray(particle_log_weights))
+                 + " \n")
+        poses = np.asarray(particle_poses)
+        fh.write(" ".join("%g" % v for v in poses.reshape(-1)) + " \n")
+        fh.write(" ".join("%d" % v for v in np.asarray(resample_idx)) + " \n")
+        if filter_type == 1 and cardinality is not None:
+            fh.write(" ".join("%g" % v for v in np.asarray(cardinality)
+                              [: max_cardinality + 1]) + " \n")
+        else:
+            fh.write(" ".join(["0"] * (max_cardinality + 1)) + " \n")
