@@ -83,8 +83,11 @@ def birth_mean_cov(pose, z, cfg):
     dy = rng * jnp.sin(theta)
     mean = jnp.stack([pose[..., 0] + dx, pose[..., 1] + dy], axis=-1)
 
-    # clamp so padded (zero) measurement slots stay NaN-free under masking
-    rng_safe = jnp.maximum(rng, 1e-6)
+    # clamp |range| so padded (zero) measurement slots stay NaN-free under
+    # masking; preserve sign — the shipped datasets contain negative-range
+    # clutter (unclamped Gaussian noise) and dx/r must stay = cos(theta)
+    rng_safe = jnp.where(jnp.abs(rng) > 1e-6, rng,
+                         jnp.where(rng < 0, -1e-6, 1e-6))
     j0 = dx / rng_safe
     j1 = dy / rng_safe
     j2 = -dy
