@@ -44,6 +44,9 @@ class StepOutputs(NamedTuple):
     n_eff: jax.Array              # scalar normalized nEff
     resampled: jax.Array          # bool scalar
     overflow: jax.Array           # merged clusters dropped by capacity
+    log_weight: jax.Array         # [P] particle log weights (post-step)
+    poses: jax.Array              # [P, 6] particle poses (post-step)
+    resample_idx: jax.Array       # [P] ancestor indices
 
 
 # ----------------------------------------------------------------------------
@@ -307,7 +310,8 @@ def phd_step(state: FilterState, z, z_mask, control, dt, do_predict,
 
     out = StepOutputs(expected_pose=expected_pose, map_mean=mm, map_cov=mc,
                       map_weight=mw, n_eff=n_eff, resampled=resampled,
-                      overflow=overflow)
+                      overflow=overflow, log_weight=state.log_weight,
+                      poses=state.pose, resample_idx=state.resample_idx)
     return state, out
 
 

@@ -14,6 +14,7 @@ host only receives the small extracted estimates it writes to disk.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from dataclasses import dataclass
@@ -24,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import SlamConfig
-from .filters.phd import make_step_fn
+from .filters.phd import make_step_fn, phd_step
 from .runtime import io
 from .types import FilterState, init_state
 
@@ -120,23 +121,177 @@ class SynthSLAMRunner:
                              if len(self.controls) else
                              jnp.zeros((1, 2), jnp.float32))
 
+    def schedule_arrays(self):
+        """Pack the input schedule into device arrays for lax.scan."""
+        T = len(self.schedule)
+        z_idx = np.array([max(p.z_idx, 0) for p in self.schedule], np.int32)
+        has_z = np.array([p.z_idx >= 0 for p in self.schedule], bool)
+        c_idx = np.array([max(p.c_idx, 0) for p in self.schedule], np.int32)
+        has_c = np.array([p.c_idx >= 0 for p in self.schedule], bool)
+        dts = np.array([p.dt for p in self.schedule], np.float32)
+        do_pred = np.array([p.do_predict for p in self.schedule], bool)
+        return (jnp.asarray(z_idx), jnp.asarray(has_z), jnp.asarray(c_idx),
+                jnp.asarray(has_c), jnp.asarray(dts), jnp.asarray(do_pred))
+
+    def run_scanned(self, collect_maps: bool = False):
+        """Run the FULL sequence as one on-device lax.scan — zero host
+        round-trips inside the loop (the TPU-native replacement for the
+        reference's per-step host loop, SURVEY.md §2.4-P7).
+
+        Returns stacked per-step outputs (expected poses, nEff, optionally MAP
+        maps) after a single device sync.
+        """
+        cfg = self.cfg
+        z_all, mask_all = self.z_dev, self.mask_dev
+        controls = self.controls_dev
+        z_idx, has_z, c_idx, has_c, dts, do_pred = self.schedule_arrays()
+        step = functools.partial(phd_step, cfg=cfg)
+
+        def body(carry, inp):
+            state, last_ctrl = carry
+            zi, hz, ci, hc, dt, dp = inp
+            ctrl = jnp.where(hc, controls[ci], last_ctrl)
+            z = z_all[zi]
+            zm = mask_all[zi] & hz
+            state, out = step(state, z, zm, ctrl, dt, dp)
+            ys = (out.expected_pose, out.n_eff, out.resampled, out.overflow)
+            if collect_maps:
+                ys = ys + (out.map_mean, out.map_weight)
+            return (state, ctrl), ys
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_all(state):
+            init = (state, jnp.zeros((2,), jnp.float32))
+            (state, _), ys = jax.lax.scan(
+                body, init, (z_idx, has_z, c_idx, has_c, dts, do_pred))
+            return state, ys
+
+        t0 = time.perf_counter()
+        self.state, ys = run_all(self.state)
+        jax.block_until_ready(ys)
+        wall = time.perf_counter() - t0
+        out = {
+            "est_poses": np.asarray(ys[0]),
+            "n_eff": np.asarray(ys[1]),
+            "resampled": np.asarray(ys[2]),
+            "overflow": int(np.asarray(ys[3]).max()),
+            "wall_s": wall,
+            "steps_per_s": len(self.schedule) / wall,
+        }
+        if collect_maps:
+            out["map_means"] = np.asarray(ys[4])
+            out["map_weights"] = np.asarray(ys[5])
+        return out
+
+    def run_chunked(self, chunk: int = 64, collect_maps: bool = True,
+                    collect_particles: bool = False):
+        """Run the sequence as a host loop over fixed-size on-device scans.
+
+        The sweet spot for a remote-tunneled TPU: one medium-sized XLA
+        program (scan of ``chunk`` steps) compiled once, then
+        ``ceil(T/chunk)`` dispatches with zero per-step host work. Outputs
+        stay on device until one final fetch.
+        """
+        cfg = self.cfg
+        z_all, mask_all = self.z_dev, self.mask_dev
+        controls = self.controls_dev
+        sched = self.schedule_arrays()
+        T = len(self.schedule)
+        n_chunks = (T + chunk - 1) // chunk
+        Tp = n_chunks * chunk
+        # pad with inert steps (no measurement, no control, no predict)
+        def pad(x, val):
+            return jnp.concatenate(
+                [x, jnp.full((Tp - T,) + x.shape[1:], val, x.dtype)])
+        z_idx = pad(sched[0], 0)
+        has_z = pad(sched[1], False)
+        c_idx = pad(sched[2], 0)
+        has_c = pad(sched[3], False)
+        dts = pad(sched[4], 0.0)
+        do_pred = pad(sched[5], False)
+
+        step = functools.partial(phd_step, cfg=cfg)
+
+        def body(carry, inp):
+            state, last_ctrl = carry
+            zi, hz, ci, hc, dt, dp = inp
+            ctrl = jnp.where(hc, controls[ci], last_ctrl)
+            z = z_all[zi]
+            zm = mask_all[zi] & hz
+            state, out = step(state, z, zm, ctrl, dt, dp)
+            ys = [out.expected_pose, out.n_eff, out.resampled, out.overflow]
+            if collect_maps:
+                ys += [out.map_mean, out.map_weight]
+            if collect_particles:
+                ys += [out.log_weight, out.poses, out.resample_idx,
+                       out.map_cov]
+            return (state, ctrl), tuple(ys)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_chunk(state, last_ctrl, *inp):
+            (state, last_ctrl), ys = jax.lax.scan(body, (state, last_ctrl),
+                                                  inp)
+            return state, last_ctrl, ys
+
+        t0 = time.perf_counter()
+        last_ctrl = jnp.zeros((2,), jnp.float32)
+        chunks = []
+        for i in range(n_chunks):
+            sl = slice(i * chunk, (i + 1) * chunk)
+            self.state, last_ctrl, ys = run_chunk(
+                self.state, last_ctrl, z_idx[sl], has_z[sl], c_idx[sl],
+                has_c[sl], dts[sl], do_pred[sl])
+            chunks.append(ys)
+        jax.block_until_ready(chunks[-1][0])
+        wall = time.perf_counter() - t0
+
+        cat = lambda k: np.concatenate(
+            [np.asarray(c[k]) for c in chunks])[:T]
+        out = {
+            "est_poses": cat(0),
+            "n_eff": cat(1),
+            "resampled": cat(2),
+            "overflow": int(cat(3).max()),
+            "wall_s": wall,
+            "steps_per_s": T / wall,
+        }
+        if collect_maps:
+            out["map_means"] = cat(4)
+            out["map_weights"] = cat(5)
+        if collect_particles:
+            base = 6 if collect_maps else 4
+            out["log_weights"] = cat(base)
+            out["poses"] = cat(base + 1)
+            out["resample_idx"] = cat(base + 2)
+            out["map_covs"] = cat(base + 3)
+        return out
+
     def run(self, out_dir: Optional[str] = None, log_every: int = 1,
-            verbose: bool = False):
-        """Run the full sequence. Returns a results dict with the estimated
-        trajectory, per-step wall-clock and diagnostic counters."""
+            verbose: bool = False, sync_every: int = 0,
+            collect_state_logs: bool = False):
+        """Run the full sequence with asynchronous dispatch.
+
+        The per-step jitted function is dispatched without host
+        synchronization (JAX's async dispatch keeps the device saturated);
+        outputs stay on device until a single fetch at the end. This is the
+        streaming counterpart of :meth:`run_scanned` — same device work, but
+        no scan-sized XLA program to compile. ``sync_every > 0`` inserts
+        periodic syncs to record wall-clock checkpoints (loopTime.log
+        equivalent at block granularity).
+        """
         cfg = self.cfg
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
-        est_poses = []
-        n_effs = []
-        loop_times = []
-        overflow_total = 0
+        outs = []
+        state_snaps = []
+        block_times = []
         last_control = jnp.zeros((2,), jnp.float32)
         zeros_z = jnp.zeros((self.m_max, 2), jnp.float32)
         zeros_mask = jnp.zeros((self.m_max,), bool)
 
+        t0 = time.perf_counter()
+        t_block = t0
         for n, plan in enumerate(self.schedule):
-            t0 = time.perf_counter()
             if plan.c_idx >= 0:
                 last_control = self.controls_dev[plan.c_idx]
             if plan.z_idx >= 0:
@@ -147,40 +302,58 @@ class SynthSLAMRunner:
             self.state, out = self.step_fn(
                 self.state, z, zm, last_control,
                 jnp.float32(plan.dt), plan.do_predict)
-            # host sync for timing parity with loopTime.log
-            ep = np.asarray(out.expected_pose)
-            loop_times.append((time.perf_counter() - t0) * 1000.0)
-            est_poses.append(ep)
-            n_effs.append(float(out.n_eff))
-            overflow_total += int(out.overflow)
+            outs.append(out)
+            if collect_state_logs or out_dir:
+                # out.* are fresh jit outputs — safe to hold across the next
+                # step's donation of the state buffers.
+                state_snaps.append((out.log_weight, out.poses,
+                                    out.resample_idx))
+            if sync_every and (n + 1) % sync_every == 0:
+                jax.block_until_ready(out.n_eff)
+                now = time.perf_counter()
+                block_times.append((now - t_block) * 1000.0 / sync_every)
+                t_block = now
+                if verbose:
+                    print(f"step {n}/{len(self.schedule)} "
+                          f"nEff={float(out.n_eff):.3f} "
+                          f"{block_times[-1]:.2f}ms/step")
 
-            if np.isnan(float(out.n_eff)):
-                print("nan weights detected! exiting...")  # main.cpp:1307
-                break
+        jax.block_until_ready(outs[-1].n_eff)
+        wall = time.perf_counter() - t0
 
-            if out_dir and (n % log_every == 0):
-                st = self.state
-                static_map = ((out.map_weight, out.map_mean, out.map_cov)
-                              if cfg.feature_model == 0 else None)
-                dynamic_map = ((out.map_weight, out.map_mean, out.map_cov)
-                               if cfg.feature_model == 1 else None)
-                io.write_state_log(
-                    out_dir, n, ep, static_map, dynamic_map,
-                    np.asarray(st.log_weight), np.asarray(st.pose),
-                    np.asarray(st.resample_idx), None,
-                    cfg.max_cardinality, cfg.filter_type)
-            if verbose and n % 50 == 0:
-                print(f"step {n}/{len(self.schedule)} "
-                      f"nEff={float(out.n_eff):.3f} "
-                      f"t={loop_times[-1]:.1f}ms")
+        est_poses = np.asarray(jnp.stack([o.expected_pose for o in outs]))
+        n_effs = np.asarray(jnp.stack([o.n_eff for o in outs]))
+        overflow = int(np.asarray(
+            jnp.max(jnp.stack([o.overflow for o in outs]))))
 
         if out_dir:
+            maps_w = np.asarray(jnp.stack([o.map_weight for o in outs]))
+            maps_m = np.asarray(jnp.stack([o.map_mean for o in outs]))
+            maps_c = np.asarray(jnp.stack([o.map_cov for o in outs]))
+            for n in range(0, len(outs), log_every):
+                lw, poses, ridx = state_snaps[n]
+                gm = (maps_w[n], maps_m[n], maps_c[n])
+                io.write_state_log(
+                    out_dir, n, est_poses[n],
+                    gm if cfg.feature_model == 0 else None,
+                    gm if cfg.feature_model == 1 else None,
+                    np.asarray(lw), np.asarray(poses), np.asarray(ridx),
+                    None, cfg.max_cardinality, cfg.filter_type)
             with open(os.path.join(out_dir, "loopTime.log"), "w") as fh:
-                fh.write("\n".join("%g" % t for t in loop_times) + "\n")
+                per_step = wall * 1000.0 / max(1, len(outs))
+                fh.write("\n".join("%g" % per_step for _ in outs) + "\n")
+
+        if np.isnan(n_effs).any():
+            first = int(np.argmax(np.isnan(n_effs)))
+            print(f"nan weights detected at step {first}!")  # main.cpp:1307
+
         return {
-            "est_poses": np.asarray(est_poses),
-            "n_eff": np.asarray(n_effs),
-            "loop_ms": np.asarray(loop_times),
-            "overflow": overflow_total,
+            "est_poses": est_poses,
+            "n_eff": n_effs,
+            "wall_s": wall,
+            "steps_per_s": len(outs) / wall,
+            "loop_ms": np.asarray(block_times),
+            "overflow": overflow,
             "truncated_measurements": self.n_truncated,
+            "outs": outs,
         }
