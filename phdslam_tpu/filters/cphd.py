@@ -1,0 +1,392 @@
+"""Cardinalized PHD (CPHD) SLAM filter — Vo's analytic CPHD recursion.
+
+TPU-native rebuild of the reference's CPHD pipeline, which lives in
+/root/reference/src/phdfilter.cu.bak (the live revision of that code path;
+the copy in phdfilter.cu:701-1822 is commented out — SURVEY.md §2.1/§3.5):
+
+  cphdConstantsKernel     (.bak:369-415)  -> :func:`cphd_constants`
+  cardinalityPredictKernel(.bak:518-545)  -> :func:`cardinality_predict`
+  birthsKernel/addBirths  (.bak:737-900)  -> :func:`add_births` (from the
+                                             PREVIOUS scan's measurements,
+                                             binomial birth cardinality)
+  cphdPreUpdateKernel     (.bak:1058-1191)-> reuses ops.ekf pre-update
+  computeEsfKernel        (.bak:1194-1278)-> :func:`log_esf` / :func:`log_esf_omit`
+  computePsiKernel        (.bak:1286-1434)-> :func:`psi_terms`
+  cphdUpdateKernel        (.bak:1436-1479)-> weight scaling in
+                                             :func:`_cphd_update_single`
+  particle weight = <Psi0, cn_predict>    (.bak:2665-2668)
+  predicted in-range cardinality ~ Poisson(sum w) (.bak:2473-2497)
+
+Reference quirks NOT replicated (same class as SURVEY.md §7.3):
+* computePsiKernel's psi1d inner product exponentiates ``val - max_val0``
+  with a stale ``max_val0`` instead of its own ``max_val1`` (.bak:1420);
+  we use a consistent logsumexp.
+* The double particle-weight normalization (.bak:2719-2737) is a no-op and
+  collapses to one normalization.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from ..config import SlamConfig
+from ..models import measurement
+from ..ops import ekf
+from ..ops.gm_merge import gm_merge
+from ..ops.math import LOG0, logsumexp, masked_logsumexp, safe_log
+from ..types import FilterState, GMState
+
+
+# ----------------------------------------------------------------------------
+# Constants (cphdConstantsKernel / initCphdConstants, .bak:369-449)
+# ----------------------------------------------------------------------------
+
+class CphdConstants(NamedTuple):
+    log_factorial: jax.Array   # [C+1] log n!
+    log_binom: jax.Array       # [C+1, C+1] log C(n, k) (LOG0 where k > n)
+    log_cn_clutter: jax.Array  # [C+1] log Poisson(clutterRate) pmf
+
+
+def cphd_constants(cfg: SlamConfig, dtype=jnp.float32) -> CphdConstants:
+    C = cfg.max_cardinality
+    n = jnp.arange(C + 1, dtype=dtype)
+    log_fact = gammaln(n + 1.0)
+    nn = n[:, None]
+    kk = n[None, :]
+    log_binom = jnp.where(
+        kk <= nn, gammaln(nn + 1.0) - gammaln(kk + 1.0) - gammaln(nn - kk + 1.0),
+        LOG0)
+    log_cn_clutter = (n * safe_log(cfg.clutter_rate) - cfg.clutter_rate
+                      - log_fact)
+    return CphdConstants(log_factorial=log_fact.astype(dtype),
+                         log_binom=log_binom.astype(dtype),
+                         log_cn_clutter=log_cn_clutter.astype(dtype))
+
+
+# ----------------------------------------------------------------------------
+# Cardinality prediction (cardinalityPredictKernel, .bak:518-545)
+# ----------------------------------------------------------------------------
+
+def cardinality_predict(log_cn, log_cn_birth):
+    """Log-domain convolution: cn_pred[n] = logsum_j cn_birth[n-j] + cn[j]."""
+    C1 = log_cn.shape[-1]
+    j = jnp.arange(C1)
+    n = jnp.arange(C1)
+    diff = n[:, None] - j[None, :]                     # [n, j]
+    birth_term = jnp.where(diff >= 0,
+                           log_cn_birth[jnp.maximum(diff, 0)], LOG0)
+    return masked_logsumexp(birth_term + log_cn[None, :], diff >= 0, axis=-1)
+
+
+def binomial_birth_cardinality(n_births, birth_weight, max_cardinality,
+                               dtype=jnp.float32):
+    """log B(k; n, p) with n = number of birth measurements, p = birthWeight
+    (birthsKernel, .bak:776-791). ``n_births`` may be a traced integer."""
+    k = jnp.arange(max_cardinality + 1, dtype=dtype)
+    n = jnp.asarray(n_births, dtype=dtype)
+    log_p = safe_log(birth_weight)
+    log_q = safe_log(1.0 - birth_weight)
+    log_c = gammaln(n + 1.0) - gammaln(k + 1.0) - gammaln(
+        jnp.maximum(n - k, 0.0) + 1.0)
+    return jnp.where(k <= n, log_c + k * log_p + (n - k) * log_q, LOG0)
+
+
+# ----------------------------------------------------------------------------
+# Elementary symmetric functions (computeEsfKernel, .bak:1194-1278)
+# ----------------------------------------------------------------------------
+
+def log_esf(log_lambda, lam_mask):
+    """Log-domain ESF coefficients e_0..e_M of {exp(log_lambda[m])}.
+
+    Recursion e_k += lambda_m * e_{k-1} per measurement (the reference's
+    per-m shared-memory loop, .bak:1233-1246), as a lax.scan. Masked-out
+    measurements contribute lambda = 0 (identity step).
+    """
+    M = log_lambda.shape[-1]
+    dtype = log_lambda.dtype
+    e0 = jnp.full((M + 1,), LOG0, dtype=dtype)
+    e0 = e0.at[0].set(0.0)
+
+    def body(e, inp):
+        ll, m = inp
+        ll = jnp.where(m, ll, LOG0)
+        shifted = jnp.concatenate([jnp.full((1,), LOG0, dtype=dtype), e[:-1]])
+        e_new = jnp.logaddexp(e, ll + shifted)
+        return e_new, None
+
+    e, _ = jax.lax.scan(body, e0, (log_lambda, lam_mask))
+    return e
+
+
+def log_esf_omit(log_lambda, lam_mask):
+    """ESF with each measurement omitted: esfd[m, k] = e_k({lambda_n : n!=m}).
+
+    The reference's esfd pass (.bak:1249-1277) re-runs the recursion per
+    omitted measurement; we vmap that over m. (Its subtraction form computes
+    the same magnitudes — signs alternate consistently, so |.| matches the
+    additive recursion.)
+    """
+    M = log_lambda.shape[-1]
+
+    def omit_one(m):
+        mask = lam_mask & (jnp.arange(M) != m)
+        return log_esf(log_lambda, mask)[:-1]          # e_0..e_{M-1}
+
+    return jax.vmap(omit_one)(jnp.arange(M))           # [M, M]
+
+
+# ----------------------------------------------------------------------------
+# Psi terms (computePsiKernel, .bak:1286-1434)
+# ----------------------------------------------------------------------------
+
+def psi_terms(consts: CphdConstants, log_esf_full, log_esfd, log_cn_predict,
+              log_ip_qdw, log_wsum, n_measure, z_mask):
+    """Compute Vo's Psi0/Psi1 terms and their inner products with the
+    predicted cardinality.
+
+    Args:
+      log_esf_full: [M+1] ESF of all measurements
+      log_esfd:     [M, M] ESF with measurement m omitted
+      log_cn_predict: [C+1]
+      log_ip_qdw:   scalar log <q_d, w>
+      log_wsum:     scalar log <1, w>
+      n_measure:    traced int — number of valid measurements
+      z_mask:       [M]
+
+    Returns (log_psi0[C+1], log_ip_psi0, log_ip_psi1, log_ip_psi1d[M]).
+    """
+    C1 = consts.log_factorial.shape[0]
+    Mp1 = log_esf_full.shape[0]
+    dtype = log_esf_full.dtype
+    n = jnp.arange(C1, dtype=dtype)[:, None]           # cardinality value
+    j = jnp.arange(Mp1, dtype=dtype)[None, :]          # ESF order
+    ji = jnp.arange(Mp1)
+    nm = jnp.asarray(n_measure, dtype=dtype)
+
+    # aux(n, j) = (M-j)! + cn_clutter[M-j] + esf[j] - n*log_wsum (.bak:1352-1355)
+    mj = jnp.clip((nm - j).astype(jnp.int32), 0, C1 - 1)   # M - j index
+    aux = (consts.log_factorial[mj] + consts.log_cn_clutter[mj]
+           + log_esf_full[None, :] - n * log_wsum)
+
+    valid_j = (j <= jnp.minimum(n, nm))                # j <= min(n, M)
+
+    # log P(n, j) = log C(n, j) + log j!
+    def log_perm(order):
+        # order: [1, Mp1] float; gather log C(n, order) from the binom table
+        oi = jnp.clip(order.astype(jnp.int32), 0, C1 - 1)
+        return (consts.log_binom[jnp.arange(C1)[:, None], oi]
+                + consts.log_factorial[oi])
+
+    p0 = log_perm(j)                                    # [C+1, M+1]
+    tmp0 = aux + p0 + (n - j) * log_ip_qdw
+    log_psi0 = masked_logsumexp(tmp0, valid_j, axis=-1)
+
+    p1 = log_perm(j + 1.0)
+    tmp1 = aux + p1 + (n - (j + 1.0)) * log_ip_qdw
+    valid_j1 = valid_j & ((j + 1.0) <= n)
+    log_psi1 = masked_logsumexp(tmp1, valid_j1, axis=-1)
+
+    log_ip_psi0 = logsumexp(log_psi0 + log_cn_predict, axis=-1)
+    log_ip_psi1 = logsumexp(log_psi1 + log_cn_predict, axis=-1)
+
+    # psi1 detection terms per measurement (.bak:1399-1426)
+    M = log_esfd.shape[0]
+
+    def one_measurement(esfd_m):
+        # j ranges over 0..M-1 here (one measurement removed)
+        jd = jnp.arange(M, dtype=dtype)[None, :]
+        mjd = jnp.clip((nm - jd - 1.0).astype(jnp.int32), 0, C1 - 1)
+        auxd = (consts.log_factorial[mjd] + consts.log_cn_clutter[mjd]
+                + esfd_m[None, :] - n * log_wsum)
+        pd_ = log_perm(jd + 1.0)
+        tmpd = auxd + pd_ + (n - (jd + 1.0)) * log_ip_qdw
+        validd = (jd <= jnp.minimum(n, nm - 1.0)) & ((jd + 1.0) <= n)
+        log_psi1d = masked_logsumexp(tmpd, validd, axis=-1)
+        return logsumexp(log_psi1d + log_cn_predict, axis=-1)
+
+    log_ip_psi1d = jax.vmap(one_measurement)(log_esfd)  # [M]
+    log_ip_psi1d = jnp.where(z_mask, log_ip_psi1d, LOG0)
+    return log_psi0, log_ip_psi0, log_ip_psi1, log_ip_psi1d
+
+
+# ----------------------------------------------------------------------------
+# Per-particle CPHD update
+# ----------------------------------------------------------------------------
+
+def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
+                        cfg: SlamConfig):
+    """Single-particle CPHD measurement update.
+
+    Follows the .bak pipeline §3.5; returns
+    (new_mean, new_cov, new_weight, log_cn_update, dlog_w, overflow).
+    """
+    K, D = mean.shape
+    M = z.shape[0]
+    dtype = mean.dtype
+
+    cls = measurement.classify_in_range(pose, mean, weight, cfg)
+    in_m = cls == measurement.IN_RANGE
+    near_m = cls == measurement.NEARLY_IN_RANGE
+    out_m = (cls == measurement.OUT_OF_RANGE) & (weight > 0)
+
+    pre = ekf.ekf_preupdate(pose, mean, cov, cfg)
+    mean_det, logw_part, _ = ekf.ekf_detection_terms(pre, mean, weight, z, cfg)
+    det_valid = z_mask[:, None] & in_m[None, :]
+    logw_part = jnp.where(det_valid, logw_part, LOG0)   # [M, K]
+
+    # qdw = log(1-pd) + log w (per in-range feature, .bak:1184-1188)
+    log_qdw = jnp.where(in_m, safe_log(1.0 - pre.pd) + safe_log(weight), LOG0)
+    log_ip_qdw = masked_logsumexp(log_qdw, in_m, axis=-1)
+    log_wsum = safe_log(jnp.sum(jnp.where(in_m, weight, 0.0)))
+
+    # lambda_m = log sum_j w_partial[j, m] + log kappa_rate - log kappa_density
+    # (.bak:1206-1221)
+    log_lambda = masked_logsumexp(logw_part, det_valid, axis=-1) \
+        + safe_log(cfg.clutter_rate) - safe_log(cfg.clutter_density)
+    log_lambda = jnp.where(z_mask, log_lambda, LOG0)
+
+    esf_full = log_esf(log_lambda, z_mask)              # [M+1]
+    esfd = log_esf_omit(log_lambda, z_mask)             # [M, M]
+
+    # predicted in-range cardinality ~ Poisson(sum w) (.bak:2473-2497)
+    C1 = consts.log_factorial.shape[0]
+    ncard = jnp.arange(C1, dtype=dtype)
+    w_sum = jnp.sum(jnp.where(in_m, weight, 0.0))
+    log_cn_predict = (ncard * safe_log(w_sum) - w_sum - consts.log_factorial)
+
+    n_measure = jnp.sum(z_mask.astype(jnp.int32))
+    log_psi0, ip0, ip1, ip1d = psi_terms(
+        consts, esf_full, esfd, log_cn_predict, log_ip_qdw, log_wsum,
+        n_measure, z_mask)
+
+    # updated cardinality (.bak:1430-1432)
+    log_cn_update = log_cn_predict + log_psi0 - ip0
+    log_cn_update = log_cn_update - logsumexp(log_cn_update, axis=-1)
+
+    # GM weight update (cphdUpdateKernel, .bak:1436-1479)
+    # detections: w = exp(w_partial + psi1d(z) - ip0 + log kr - log kd)
+    w_det = jnp.where(
+        det_valid,
+        jnp.exp(logw_part + ip1d[:, None] - ip0
+                + safe_log(cfg.clutter_rate) - safe_log(cfg.clutter_density)),
+        0.0)
+    # non-detections: w = exp(log w + ip1 - ip0 + log(1 - pd))
+    # NB: the reference uses the configured pd here, not the per-feature
+    # FOV-gated pd (.bak:1468-1471)
+    w_nd = jnp.where(in_m, weight * jnp.exp(ip1 - ip0) * (1.0 - cfg.pd), 0.0)
+
+    # particle weight increment = <Psi0, cn_predict> (.bak:2665-2668)
+    dlog_w = ip0
+
+    # prune + merge + recombine — same structure as the PHD path
+    min_fw = cfg.min_feature_weight
+    act_a = (in_m & (w_nd >= min_fw)) | near_m
+    w_a = jnp.where(in_m, w_nd, jnp.where(near_m, weight, 0.0))
+    act_b = det_valid & (w_det >= min_fw)
+
+    cand_mean = jnp.concatenate([mean, mean_det.reshape(M * K, D)], axis=0)
+    cand_cov = jnp.concatenate(
+        [cov,
+         jnp.broadcast_to(pre.cov_upd[None], (M, K, D, D)).reshape(M * K, D, D)],
+        axis=0)
+    cand_w = jnp.concatenate([w_a, w_det.reshape(M * K)], axis=0)
+    cand_act = jnp.concatenate([act_a, act_b.reshape(M * K)], axis=0)
+
+    eye = jnp.eye(D, dtype=dtype)
+    cand_mean = jnp.where(cand_act[:, None], cand_mean, 0.0)
+    cand_cov = jnp.where(cand_act[:, None, None], cand_cov, eye)
+    cand_w = jnp.where(cand_act, cand_w, 0.0)
+
+    mg_mean, mg_cov, mg_w, _, n_dropped = gm_merge(
+        cand_mean, cand_cov, cand_w, cand_act,
+        cfg.min_separation, K, cfg.distance_metric)
+
+    all_mean = jnp.concatenate([mg_mean, mean], axis=0)
+    all_cov = jnp.concatenate([mg_cov, cov], axis=0)
+    all_w = jnp.concatenate([mg_w, jnp.where(out_m, weight, 0.0)], axis=0)
+
+    order = jnp.argsort(-all_w)[:K]
+    new_mean = all_mean[order]
+    new_cov = all_cov[order]
+    new_w = all_w[order]
+    empty = new_w <= 0
+    new_cov = jnp.where(empty[:, None, None], eye, new_cov)
+    new_mean = jnp.where(empty[:, None], 0.0, new_mean)
+    new_w = jnp.where(empty, 0.0, new_w)
+
+    total_live = jnp.sum((all_w > 0).astype(jnp.int32))
+    overflow = jnp.maximum(total_live - K, 0) + n_dropped
+    return new_mean, new_cov, new_w, log_cn_update, dlog_w, overflow
+
+
+def add_births(gm: GMState, pose, z, z_mask, cfg: SlamConfig):
+    """Append birth Gaussians for each measurement (addBirths, .bak:794-900).
+
+    Weight = birthWeight each (linear); lowest-weight components are dropped
+    if capacity is exceeded. Returns (GMState, overflow_count[P]).
+    """
+    P, K, D = gm.mean.shape
+    birth_fn = (measurement.birth_mean_cov if D == 2
+                else measurement.birth_mean_cov_4d)
+    b_mean, b_cov = jax.vmap(lambda p: birth_fn(p, z, cfg))(pose)  # [P,M,D]
+    M = z.shape[0]
+    dtype = gm.mean.dtype
+    b_w = jnp.where(z_mask, cfg.birth_weight, 0.0).astype(dtype)
+    b_w = jnp.broadcast_to(b_w, (P, M))
+    eye = jnp.eye(D, dtype=dtype)
+    b_mean = jnp.where(z_mask[None, :, None], b_mean, 0.0)
+    b_cov = jnp.where(z_mask[None, :, None, None], b_cov, eye)
+
+    all_mean = jnp.concatenate([gm.mean, b_mean], axis=1)
+    all_cov = jnp.concatenate([gm.cov, b_cov], axis=1)
+    all_w = jnp.concatenate([gm.weight, b_w], axis=1)
+
+    order = jnp.argsort(-all_w, axis=1)[:, :K]
+    take = lambda x, o: jnp.take_along_axis(
+        x, o.reshape(o.shape + (1,) * (x.ndim - 2)), axis=1)
+    new_mean = take(all_mean, order)
+    new_cov = take(all_cov, order)
+    new_w = jnp.take_along_axis(all_w, order, axis=1)
+    empty = new_w <= 0
+    new_cov = jnp.where(empty[:, :, None, None], eye, new_cov)
+    new_mean = jnp.where(empty[:, :, None], 0.0, new_mean)
+    new_w = jnp.where(empty, 0.0, new_w)
+    overflow = jnp.maximum(
+        jnp.sum((all_w > 0).astype(jnp.int32), axis=1) - K, 0)
+    return GMState(mean=new_mean, cov=new_cov, weight=new_w), overflow
+
+
+def cphd_update(state: FilterState, z, z_mask, consts, cfg: SlamConfig):
+    """CPHD measurement update over all particles + birth injection for the
+    next scan + cardinality convolution with the binomial birth cardinality."""
+    gm = state.map_static
+    upd = jax.vmap(
+        lambda p, m, c, w: _cphd_update_single(p, m, c, w, z, z_mask, consts,
+                                               cfg)
+    )(state.pose, gm.mean, gm.cov, gm.weight)
+    new_mean, new_cov, new_w, log_cn, dlog_w, overflow = upd
+
+    log_w = state.log_weight + dlog_w
+    log_w = log_w - logsumexp(log_w, axis=0)
+
+    new_gm = GMState(mean=new_mean, cov=new_cov, weight=new_w)
+
+    # births from the CURRENT measurements feed the next update — equivalent
+    # to the reference's addBirths(ZPrev) at the start of the next iteration
+    # (.bak:68, :794), since static features are not motion-predicted
+    new_gm, b_overflow = add_births(new_gm, state.pose, z, z_mask, cfg)
+
+    # cardinality prediction convolution for the next step (.bak:518-612)
+    n_births = jnp.sum(z_mask.astype(jnp.int32))
+    cn_birth = binomial_birth_cardinality(
+        n_births, cfg.birth_weight, cfg.max_cardinality, log_cn.dtype)
+    log_cn = jax.vmap(lambda c: cardinality_predict(c, cn_birth))(log_cn)
+
+    state = state.replace(map_static=new_gm, log_weight=log_w,
+                          cardinality=log_cn)
+    return state, jnp.max(overflow) + jnp.max(b_overflow)

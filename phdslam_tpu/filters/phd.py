@@ -291,6 +291,9 @@ def phd_step(state: FilterState, z, z_mask, control, dt, do_predict,
     Mirrors the per-step body of run_synth (main.cpp:1178-1312). ``z`` is
     padded to [M_max, 2] with ``z_mask`` marking real measurements;
     ``do_predict`` gates vehicle prediction (step 0 has no motion).
+
+    ``cfg.filter_type == 1`` selects the CPHD measurement update
+    (filters/cphd.py, functional spec §3.5 of SURVEY.md).
     """
     key = jax.random.fold_in(state.rng, state.step)
     k_pred, k_res = jax.random.split(key)
@@ -300,7 +303,12 @@ def phd_step(state: FilterState, z, z_mask, control, dt, do_predict,
         lambda a, b: jnp.where(do_predict, a, b), predicted, state)
 
     has_z = jnp.any(z_mask)
-    updated, overflow = update(state, z, z_mask, cfg)
+    if cfg.filter_type == 1:
+        from .cphd import cphd_constants, cphd_update
+        consts = cphd_constants(cfg, state.pose.dtype)
+        updated, overflow = cphd_update(state, z, z_mask, consts, cfg)
+    else:
+        updated, overflow = update(state, z, z_mask, cfg)
     state = jax.tree.map(lambda a, b: jnp.where(has_z, a, b), updated, state)
     overflow = jnp.where(has_z, overflow, 0)
 

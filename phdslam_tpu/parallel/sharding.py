@@ -1,0 +1,138 @@
+"""Multi-chip particle sharding.
+
+The reference is single-GPU/single-process (SURVEY.md §2.4): its only
+"distribution" is cudaMemcpy host<->device. The TPU-native engine shards the
+particle axis over a 1-D ``particle`` device mesh (SURVEY.md §2.4-P1) and
+lets the XLA SPMD partitioner insert the collectives:
+
+* particle log-weight normalization / nEff      -> all-reduce (psum) over ICI
+* expected-pose extraction                       -> psum of weighted poses
+* MAP-map extraction (argmax-weight particle)    -> all-gather of one map
+* systematic resampling ancestry                 -> all-gather of P scalars
+* particle migration after resampling            -> gather of map blocks
+
+Everything else in the filter step is per-particle embarrassingly parallel
+and runs without any communication. This is the ``jit`` + ``NamedSharding``
+formulation: the step function keeps its global (single-program) semantics
+from :mod:`..filters.phd`; sharding annotations on the state pytree tell XLA
+where the data lives, and the partitioner turns the handful of cross-particle
+reductions above into ICI collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SlamConfig
+from ..filters.phd import phd_step
+from ..types import FilterState, init_state
+
+PARTICLE_AXIS = "particle"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """Build the 1-D particle mesh over the available chips."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (PARTICLE_AXIS,))
+
+
+def _particle_spec(x) -> P:
+    """Shard the leading (particle) axis; replicate the rest of the dims."""
+    return P(PARTICLE_AXIS, *([None] * (np.ndim(x) - 1)))
+
+
+def state_shardings(mesh: Mesh, state: FilterState) -> FilterState:
+    """NamedSharding pytree for a FilterState: per-particle arrays are sharded
+    on their leading axis; the PRNG key and step counter are replicated."""
+    repl = NamedSharding(mesh, P())
+
+    def shard_leaf(x):
+        return NamedSharding(mesh, _particle_spec(x))
+
+    sharded = jax.tree.map(shard_leaf, state)
+    return sharded.replace(rng=repl, step=repl)
+
+
+def shard_state(mesh: Mesh, state: FilterState) -> FilterState:
+    """Place a host/single-device FilterState onto the mesh."""
+    sh = state_shardings(mesh, state)
+    return jax.tree.map(jax.device_put, state, sh)
+
+
+def init_sharded_state(cfg: SlamConfig, mesh: Mesh,
+                       n_particles: Optional[int] = None) -> FilterState:
+    P_total = n_particles if n_particles is not None else cfg.n_particles
+    n_dev = mesh.devices.size
+    if P_total % n_dev != 0:
+        raise ValueError(
+            f"n_particles={P_total} must be divisible by mesh size {n_dev}")
+    return shard_state(mesh, init_state(cfg, P_total))
+
+
+def make_sharded_step_fn(cfg: SlamConfig, mesh: Mesh, donate: bool = True):
+    """Jit the filter step with particle-axis shardings over ``mesh``.
+
+    Returns ``step(state, z, z_mask, control, dt, do_predict) -> (state, out)``
+    where the state stays resident and sharded across the mesh between calls.
+    """
+    example = init_state(cfg, mesh.devices.size)  # shapes only, for specs
+    st_sh = state_shardings(mesh, example)
+    repl = NamedSharding(mesh, P())
+    part = NamedSharding(mesh, P(PARTICLE_AXIS))
+
+    # StepOutputs: extracted estimates are replicated; per-particle
+    # diagnostics stay sharded.
+    from ..filters.phd import StepOutputs
+    out_sh = StepOutputs(
+        expected_pose=repl, map_mean=repl, map_cov=repl, map_weight=repl,
+        n_eff=repl, resampled=repl, overflow=repl,
+        log_weight=part,
+        poses=NamedSharding(mesh, P(PARTICLE_AXIS, None)),
+        resample_idx=part)
+
+    fn = functools.partial(phd_step, cfg=cfg)
+    return jax.jit(
+        fn,
+        in_shardings=(st_sh, repl, repl, repl, repl, repl),
+        out_shardings=(st_sh, out_sh),
+        donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_scan_fn(cfg: SlamConfig, mesh: Mesh, donate: bool = True):
+    """Jit a whole-sequence lax.scan over the sharded step (run_scanned's
+    device loop, but multi-chip). Inputs are the stacked per-step schedule
+    arrays; all T steps execute on device with ICI collectives only."""
+    example = init_state(cfg, mesh.devices.size)
+    st_sh = state_shardings(mesh, example)
+    repl = NamedSharding(mesh, P())
+
+    def run_all(state, z_all, mask_all, controls, z_idx, has_z, c_idx,
+                has_c, dts, do_pred):
+        def body(carry, inp):
+            st, last_ctrl = carry
+            zi, hz, ci, hc, dt, dp = inp
+            ctrl = jnp.where(hc, controls[ci], last_ctrl)
+            z = z_all[zi]
+            zm = mask_all[zi] & hz
+            st, out = phd_step(st, z, zm, ctrl, dt, dp, cfg=cfg)
+            return (st, ctrl), (out.expected_pose, out.n_eff, out.resampled,
+                                out.overflow)
+        init = (state, jnp.zeros((2,), state.pose.dtype))
+        (state, _), ys = jax.lax.scan(
+            body, init, (z_idx, has_z, c_idx, has_c, dts, do_pred))
+        return state, ys
+
+    return jax.jit(
+        run_all,
+        in_shardings=(st_sh,) + (repl,) * 9,
+        out_shardings=(st_sh, (repl, repl, repl, repl)),
+        donate_argnums=(0,) if donate else ())

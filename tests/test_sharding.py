@@ -1,0 +1,105 @@
+"""Multi-chip sharding tests on the 8-device CPU mesh (SURVEY.md §4d).
+
+Validates that the particle-sharded step (a) compiles and executes over a
+mesh, (b) produces the same results as the unsharded step (the collectives
+XLA inserts — psum weight normalization, resampling gather — must be
+semantics-preserving), and (c) actually shards the state.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phdslam_tpu.config import SlamConfig
+from phdslam_tpu.filters.phd import make_step_fn
+from phdslam_tpu.parallel import (init_sharded_state, make_mesh,
+                                  make_sharded_step_fn)
+from phdslam_tpu.types import init_state
+
+
+def small_cfg(**kw):
+    d = dict(n_particles=16, max_features=12, max_measurements=4,
+             motion_type=0, feature_model=0, filter_type=0,
+             max_range=15.0, std_range=0.25, std_bearing=0.02,
+             clutter_rate=5.0, pd=0.95, birth_weight=0.05,
+             min_separation=2.0, resample_threshold=0.5, seed=3)
+    d.update(kw)
+    return SlamConfig(**d)
+
+
+def fake_inputs(m_max, n_z=3):
+    z = np.zeros((m_max, 2), np.float32)
+    z[:n_z] = [[5.0, 0.1], [8.0, -0.4], [3.0, 1.0]][:n_z]
+    mask = np.zeros((m_max,), bool)
+    mask[:n_z] = True
+    return jnp.asarray(z), jnp.asarray(mask)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+    return make_mesh(8)
+
+
+def test_sharded_step_matches_unsharded(mesh):
+    cfg = small_cfg()
+    z, zm = fake_inputs(cfg.max_measurements)
+    ctrl = jnp.zeros((2,), jnp.float32)
+
+    ref_step = make_step_fn(cfg, donate=False)
+    sh_step = make_sharded_step_fn(cfg, mesh, donate=False)
+
+    st_ref = init_state(cfg)
+    st_sh = init_sharded_state(cfg, mesh)
+
+    for n in range(5):
+        dp = jnp.asarray(n > 0)
+        st_ref, out_ref = ref_step(st_ref, z, zm, ctrl, jnp.float32(0.1), dp)
+        st_sh, out_sh = sh_step(st_sh, z, zm, ctrl, jnp.float32(0.1), dp)
+
+    np.testing.assert_allclose(np.asarray(out_sh.expected_pose),
+                               np.asarray(out_ref.expected_pose),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(out_sh.n_eff), float(out_ref.n_eff),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(st_sh.log_weight),
+                               np.asarray(st_ref.log_weight),
+                               rtol=2e-4, atol=2e-5)
+    # MAP map estimate identical up to float reassociation
+    np.testing.assert_allclose(np.asarray(out_sh.map_weight),
+                               np.asarray(out_ref.map_weight),
+                               rtol=2e-3, atol=1e-5)
+
+
+def test_state_is_actually_sharded(mesh):
+    cfg = small_cfg()
+    st = init_sharded_state(cfg, mesh)
+    shards = st.map_static.mean.sharding
+    assert shards.num_devices == 8
+    # leading axis split 16/8 = 2 per device
+    shard_shape = shards.shard_shape(st.map_static.mean.shape)
+    assert shard_shape[0] == 2
+
+
+def test_sharded_step_with_resampling(mesh):
+    # force resampling by concentrating weight: high threshold
+    cfg = small_cfg(resample_threshold=1.0)
+    z, zm = fake_inputs(cfg.max_measurements)
+    ctrl = jnp.zeros((2,), jnp.float32)
+    sh_step = make_sharded_step_fn(cfg, mesh, donate=False)
+    st = init_sharded_state(cfg, mesh)
+    for n in range(3):
+        st, out = sh_step(st, z, zm, ctrl, jnp.float32(0.1),
+                          jnp.asarray(n > 0))
+    assert bool(out.resampled)
+    # post-resample weights are uniform and the gather preserved validity
+    lw = np.asarray(st.log_weight)
+    np.testing.assert_allclose(lw, -np.log(cfg.n_particles), rtol=1e-5)
+    assert np.isfinite(np.asarray(st.map_static.weight)).all()
+
+
+def test_divisibility_check(mesh):
+    cfg = small_cfg(n_particles=10)
+    with pytest.raises(ValueError):
+        init_sharded_state(cfg, mesh)
