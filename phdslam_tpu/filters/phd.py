@@ -212,7 +212,8 @@ def update(state: FilterState, z, z_mask, cfg: SlamConfig):
     elif cfg.feature_model == 1:
         gm = state.map_dynamic
     else:
-        raise NotImplementedError("mixed model update: see filters/mixed.py")
+        from .mixed import mixed_update
+        return mixed_update(state, z, z_mask, cfg)
 
     upd = jax.vmap(
         lambda p, m, c, w: _update_single(p, m, c, w, z, z_mask, cfg)
@@ -239,7 +240,9 @@ def extract(state: FilterState, cfg: SlamConfig):
     w = jnp.exp(state.log_weight)
     expected_pose = jnp.einsum("p,pd->d", w, state.pose)
     max_idx = jnp.argmax(state.log_weight)
-    gm = state.map_static if cfg.feature_model == 0 else state.map_dynamic
+    # mixed model (2) reports the static map here; the dynamic map is
+    # available from the state for the log writer
+    gm = state.map_dynamic if cfg.feature_model == 1 else state.map_static
     return expected_pose, (gm.mean[max_idx], gm.cov[max_idx],
                            gm.weight[max_idx])
 

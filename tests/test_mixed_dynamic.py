@@ -1,0 +1,126 @@
+"""Dynamic (4D) and mixed static+dynamic feature-model tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from phdslam_tpu.config import SlamConfig
+from phdslam_tpu.filters.mixed import _update_mixed_single
+from phdslam_tpu.filters.phd import _update_single, make_step_fn
+from phdslam_tpu.types import init_state
+
+
+def base_cfg(**kw):
+    d = dict(n_particles=8, max_features=24, max_measurements=6,
+             motion_type=0, max_range=25.0, std_range=0.25,
+             std_bearing=0.02, clutter_rate=2.0, pd=0.95, birth_weight=0.05,
+             min_separation=2.0, resample_threshold=0.3, filter_type=0,
+             ax=0.05, ay=0.05, ayaw=0.005, cov_vx_birth=1.0,
+             cov_vy_birth=1.0, std_ax_map=0.2, std_ay_map=0.2,
+             ps=0.98, beta=1.0, tau=0.5, seed=5)
+    d.update(kw)
+    return SlamConfig(**d)
+
+
+def measure(targets, rng, cfg, m_max):
+    """Noisy range-bearing measurements of targets from the origin."""
+    r = np.linalg.norm(targets, axis=1) + rng.normal(0, cfg.std_range,
+                                                     len(targets))
+    b = np.arctan2(targets[:, 1], targets[:, 0]) \
+        + rng.normal(0, cfg.std_bearing, len(targets))
+    z = np.zeros((m_max, 2), np.float32)
+    z[:len(targets)] = np.stack([r, b], axis=1)
+    mask = np.zeros((m_max,), bool)
+    mask[:len(targets)] = True
+    return jnp.asarray(z), jnp.asarray(mask)
+
+
+def test_dynamic_model_tracks_moving_target():
+    """feature_model=1: the 4D map should follow a constant-velocity target
+    and estimate its velocity."""
+    cfg = base_cfg(feature_model=1, particle_weighting=1)
+    step = make_step_fn(cfg, donate=False)
+    state = init_state(cfg)
+    rng = np.random.default_rng(11)
+    pos = np.array([[6.0, 2.0]])
+    vel = np.array([[0.8, -0.4]])
+    dt = 0.5
+    for n in range(20):
+        z, mask = measure(pos, rng, cfg, cfg.max_measurements)
+        state, out = step(state, z, mask, jnp.zeros((2,), jnp.float32),
+                         jnp.float32(dt), jnp.asarray(n > 0))
+        pos = pos + vel * dt
+    w = np.asarray(state.map_dynamic.weight[0])
+    m = np.asarray(state.map_dynamic.mean[0])
+    best = np.argmax(w)
+    assert w[best] > 0.5
+    # position tracks the PREVIOUS observed position (update at step n sees
+    # the target before this step's advance)
+    err = np.linalg.norm(m[best, :2] - (pos[0] - vel[0] * dt))
+    assert err < 2.5, (m[best], pos)
+    # velocity estimate has the right direction
+    v_est = m[best, 2:]
+    assert v_est @ vel[0] > 0, v_est
+
+
+def test_mixed_matches_static_when_dynamic_empty():
+    """With labeled all-static measurements and an empty dynamic map, the
+    mixed update's static map must equal the static-only update."""
+    cfg = base_cfg(feature_model=2, particle_weighting=1,
+                   labeled_measurements=True)
+    K, M = cfg.max_features, cfg.max_measurements
+    rng = np.random.default_rng(3)
+    pose = jnp.asarray(np.array([0.5, -0.2, 0.1, 0, 0, 0], np.float32))
+    # seed a static map with 3 live features
+    mean_s = jnp.asarray(np.zeros((K, 2), np.float32))
+    mean_s = mean_s.at[:3].set(jnp.asarray(
+        np.array([[5, 1], [8, -2], [3, 4]], np.float32)))
+    cov_s = jnp.broadcast_to(jnp.eye(2) * 0.3, (K, 2, 2)).astype(jnp.float32)
+    w_s = jnp.asarray(np.array([0.9, 0.8, 0.7] + [0.0] * (K - 3), np.float32))
+    mean_d = jnp.zeros((K, 4), jnp.float32)
+    cov_d = jnp.broadcast_to(jnp.eye(4), (K, 4, 4)).astype(jnp.float32)
+    w_d = jnp.zeros((K,), jnp.float32)
+
+    z, mask = measure(np.array([[5.1, 1.1], [7.9, -2.2]]), rng, cfg, M)
+    labels = jnp.zeros((M,), jnp.int32)
+
+    (sm, sc, sw), (dm, dc, dw), dlw_mixed, _ = _update_mixed_single(
+        pose, mean_s, cov_s, w_s, mean_d, cov_d, w_d, z, labels, mask, cfg)
+    sm2, sc2, sw2, dlw_static, _ = _update_single(
+        pose, mean_s, cov_s, w_s, z, mask, cfg)
+
+    np.testing.assert_allclose(np.asarray(sw), np.asarray(sw2),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sm), np.asarray(sm2),
+                               rtol=1e-5, atol=1e-5)
+    # dynamic map stays empty apart from (zero-weight) labeled-out births
+    assert float(jnp.max(dw)) == 0.0
+
+
+def test_mixed_e2e_separates_static_and_moving():
+    """Unlabeled mixed run: static landmarks land in the static map, the
+    mover gets dynamic components."""
+    cfg = base_cfg(feature_model=2, particle_weighting=1, tau=0.2,
+                   min_separation=1.0)
+    step = make_step_fn(cfg, donate=False)
+    state = init_state(cfg)
+    rng = np.random.default_rng(4)
+    landmarks = np.array([[5.0, 3.0], [9.0, -4.0]])
+    mover = np.array([[2.0, -6.0]])
+    vel = np.array([[1.0, 0.5]])
+    dt = 0.5
+    for n in range(16):
+        targets = np.concatenate([landmarks, mover])
+        z, mask = measure(targets, rng, cfg, cfg.max_measurements)
+        state, out = step(state, z, mask, jnp.zeros((2,), jnp.float32),
+                         jnp.float32(dt), jnp.asarray(n > 0))
+        mover = mover + vel * dt
+    assert np.isfinite(np.asarray(state.log_weight)).all()
+    w_s = np.asarray(state.map_static.weight[0])
+    m_s = np.asarray(state.map_static.mean[0])
+    # both landmarks present in the static map
+    for lm in landmarks:
+        d = np.linalg.norm(m_s[w_s > 0.4] - lm, axis=-1)
+        assert d.size and d.min() < 1.0, (lm, m_s[w_s > 0.4])
+    # dynamic map has at least one live component near the mover's track
+    w_d = np.asarray(state.map_dynamic.weight[0])
+    assert (w_d > 0.2).any()
