@@ -1,0 +1,122 @@
+"""Disparity / SC-PHD pipeline tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phdslam_tpu.config import SlamConfig
+from phdslam_tpu.filters.disparity import (camera_rotation,
+                                           disparity_to_world,
+                                           fit_gaussians,
+                                           init_disparity_state,
+                                           make_disparity_step_fn,
+                                           sample_gaussians,
+                                           world_to_disparity)
+
+
+def cam_cfg(**kw):
+    d = dict(n_particles=8, max_features=16, max_measurements=8,
+             particles_per_feature=32, fx=500.0, fy=500.0, u0=320.0,
+             v0=240.0, image_width=640, image_height=480, std_u=1.0,
+             std_v=1.0, disparity_birth=250.0, std_d_birth=100.0,
+             clutter_rate=1.0, pd=0.95, birth_weight=0.05,
+             min_separation=20.0, min_feature_weight=1e-5,
+             particle_weighting=0, resample_threshold=0.3,
+             ax=0.01, ay=0.01, az=0.01, aroll=0.001, apitch=0.001,
+             ayaw=0.001, seed=2)
+    d.update(kw)
+    return SlamConfig(**d)
+
+
+def test_transform_roundtrip():
+    cfg = cam_cfg()
+    rng = np.random.default_rng(0)
+    cam = jnp.asarray(np.concatenate([
+        rng.normal(0, 2, 3), rng.normal(0, 0.3, 3), np.zeros(6)
+    ]).astype(np.float32))
+    # points in front of the camera: camera z < 0 (d = -fx/zc >= 0)
+    R = np.asarray(camera_rotation(cam[3], cam[4], cam[5]))
+    pc = np.stack([rng.normal(0, 1, 20), rng.normal(0, 1, 20),
+                   -rng.uniform(2, 10, 20)], axis=1)
+    pts = (R @ pc.T).T + np.asarray(cam[:3])
+    uvd = world_to_disparity(jnp.asarray(pts, jnp.float32), cam, cfg)
+    assert (np.asarray(uvd[:, 2]) > 0).all()
+    back = disparity_to_world(uvd, cam, cfg)
+    np.testing.assert_allclose(np.asarray(back), pts, rtol=1e-3, atol=1e-2)
+
+
+def test_fit_gaussians_matches_numpy():
+    rng = np.random.default_rng(1)
+    pts = rng.normal(0, 1, (5, 32, 3)).astype(np.float32)
+    mean, cov = fit_gaussians(jnp.asarray(pts))
+    np.testing.assert_allclose(np.asarray(mean), pts.mean(axis=1), atol=1e-5)
+    for i in range(5):
+        np.testing.assert_allclose(np.asarray(cov[i]),
+                                   np.cov(pts[i].T, ddof=1), atol=1e-4)
+
+
+def test_sample_gaussians_moments():
+    key = jax.random.PRNGKey(0)
+    mean = jnp.asarray([[1.0, -2.0, 5.0]])
+    cov = jnp.asarray([[[4.0, 1.0, 0.0], [1.0, 2.0, 0.5], [0.0, 0.5, 1.0]]])
+    s = np.asarray(sample_gaussians(mean, cov, 20000, key))[0]
+    np.testing.assert_allclose(s.mean(axis=0), [1.0, -2.0, 5.0], atol=0.1)
+    np.testing.assert_allclose(np.cov(s.T), np.asarray(cov[0]), atol=0.15)
+
+
+def project(landmarks, cam, cfg, rng):
+    """Noisy (u, v) measurements of world landmarks, gated to the image
+    (a real sensor only reports in-view detections)."""
+    uvd = np.asarray(world_to_disparity(
+        jnp.asarray(landmarks, jnp.float32), jnp.asarray(cam, jnp.float32),
+        cfg))
+    uv = uvd[:, :2] + rng.normal(0, 1.0, (len(landmarks), 2))
+    vis = ((uv[:, 0] > 0) & (uv[:, 0] < cfg.image_width)
+           & (uv[:, 1] > 0) & (uv[:, 1] < cfg.image_height)
+           & (uvd[:, 2] > 0))
+    uv = uv[vis]
+    z = np.zeros((cfg.max_measurements, 2), np.float32)
+    z[:len(uv)] = uv
+    mask = np.zeros((cfg.max_measurements,), bool)
+    mask[:len(uv)] = True
+    return jnp.asarray(z), jnp.asarray(mask)
+
+
+def test_disparity_e2e_smoke():
+    """Translating camera observing 3 fixed landmarks: finite weights,
+    live features, reprojection near the measurements."""
+    cfg = cam_cfg(n_particles=32, disparity_birth=150.0)
+    step = make_disparity_step_fn(cfg, donate=False)
+    state = init_disparity_state(cfg)
+    rng = np.random.default_rng(5)
+    # with roll=pitch=yaw=0, R=I: world frame == camera frame, so put
+    # landmarks at negative world z (in front of the camera)
+    landmarks = np.array([[0.5, 0.2, -5.0], [-0.8, -0.4, -6.0],
+                          [0.3, -0.6, -4.5]])
+    true_cam = np.zeros(12)
+    true_cam[6] = 0.1  # vx in camera frame == world x (R = I)
+    state = state.replace(cam_pose=state.cam_pose.at[:, 6].set(0.1))
+    dt = 0.5
+    for n in range(25):
+        z, mask = project(landmarks, true_cam, cfg, rng)
+        state, out = step(state, z, mask, jnp.float32(dt), jnp.asarray(n > 0))
+        true_cam[:3] += true_cam[6:9] * dt
+    assert np.isfinite(np.asarray(state.log_weight)).all()
+    assert np.isfinite(float(out.n_eff))
+    w = np.asarray(out.map_weight)
+    assert (w > 0.3).sum() >= 3, w
+    # SLAM consistency: the MAP particle's features, reprojected through its
+    # OWN camera, must land near the latest measurements (the particle
+    # explains the data with its own pose+map pair; comparing against true
+    # landmarks through its camera would mix two frames)
+    max_idx = int(np.argmax(np.asarray(state.log_weight)))
+    cam = np.asarray(state.cam_pose)[max_idx]
+    cloud = np.asarray(out.map_cloud)
+    feat_mean = cloud.mean(axis=1)  # [K, 3] world means
+    uvd_est = np.asarray(world_to_disparity(
+        jnp.asarray(feat_mean[w > 0.3], jnp.float32),
+        jnp.asarray(cam, jnp.float32), cfg))
+    z_np = np.asarray(z)[np.asarray(mask)]
+    for t in z_np:
+        d = np.linalg.norm(uvd_est[:, :2] - t, axis=1)
+        assert d.min() < 15.0, (t, uvd_est)
