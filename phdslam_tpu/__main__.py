@@ -1,0 +1,86 @@
+"""Command-line driver.
+
+Mirrors the reference binary's CLI (/root/reference/src/main.cpp:1442-1514):
+
+    python -m phdslam_tpu <config.cfg> [synth|disparity] [profile]
+
+* positional 1: config file path
+* positional 2: run type (default ``synth``; ``disparity`` runs the
+  monocular SC-PHD pipeline)
+* ``--profile``: snapshot-replay profiling mode — loads a saved checkpoint
+  and executes a single measurement update (the reference's 3rd-argument
+  profile run, main.cpp:1314-1321)
+
+Outputs go to a timestamped directory containing ``state_estimateXXXXX.log``
+files, ``loopTime.log`` and a copy of the config (main.cpp:1480-1510).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="phdslam_tpu")
+    ap.add_argument("config", help="config file path")
+    ap.add_argument("run_type", nargs="?", default="synth",
+                    choices=["synth", "disparity"])
+    ap.add_argument("--profile", metavar="CHECKPOINT",
+                    help="load checkpoint and run a single update")
+    ap.add_argument("--out-dir", default=None,
+                    help="output directory (default: timestamped)")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--particles", type=int, default=None)
+    ap.add_argument("--runner", default="chunked",
+                    choices=["chunked", "scanned", "async"],
+                    help="execution strategy for the filter loop")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="write an orbax checkpoint every N steps")
+    args = ap.parse_args(argv)
+
+    from .config import load_config
+    cfg = load_config(args.config)
+    if args.steps is not None:
+        cfg.n_steps = args.steps
+    if args.particles is not None:
+        cfg.n_particles = args.particles
+
+    out_dir = args.out_dir
+    if out_dir is None:
+        stamp = time.strftime("%Y%m%d-%H%M%S")
+        out_dir = os.path.join("runs", stamp)
+    os.makedirs(out_dir, exist_ok=True)
+    shutil.copy(args.config, os.path.join(out_dir, "config.cfg"))
+
+    if args.run_type == "disparity":
+        from .slam_disparity import run_disparity
+        res = run_disparity(cfg, out_dir=out_dir)
+    elif args.profile:
+        from .runtime.checkpoint import profile_single_update
+        res = profile_single_update(cfg, args.profile)
+    else:
+        from .slam import SynthSLAMRunner
+        runner = SynthSLAMRunner(cfg)
+        if args.runner == "chunked":
+            res = runner.run_chunked(collect_maps=True,
+                                     collect_particles=True)
+            runner.write_logs(out_dir, res)
+        elif args.runner == "scanned":
+            res = runner.run_scanned()
+        else:
+            res = runner.run(out_dir=out_dir)
+        if args.checkpoint_every:
+            from .runtime.checkpoint import save_checkpoint
+            save_checkpoint(os.path.join(out_dir, "checkpoint"),
+                            runner.state)
+
+    print(f"done: {len(res['est_poses'])} steps "
+          f"{res.get('steps_per_s', 0):.2f} steps/s -> {out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

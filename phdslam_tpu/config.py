@@ -138,6 +138,9 @@ class SlamConfig:
     max_measurements: int = 64        # M_max: measurements per scan (ref clamps at 256, phdfilter.cu:3389-3394)
     dtype: str = "float32"
     seed: int = 0
+    # MC map-variance estimator (phdVarianceKernel): the reference runs it
+    # unconditionally on the static path; here it is opt-in (diagnostic only)
+    compute_variance: bool = False
 
     # ------------------------------------------------------------------
     @property
@@ -245,6 +248,7 @@ _OPTION_MAP = {
     "max_measurements": "max_measurements",
     "dtype": "dtype",
     "seed": "seed",
+    "compute_variance": "compute_variance",
 }
 
 _LINE_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*?)\s*$")

@@ -1,0 +1,138 @@
+"""Monte-Carlo batch validation harness.
+
+Rebuild of the reference's acceptance-test layer (SURVEY.md §4):
+``python/batch_run.py`` (run the filter over N noise realizations) and
+``python/batch_analyze.py`` (per-step pose error + OSPA(p=1, c=5) against
+ground truth, aggregated mean/std over runs).
+
+Unlike the reference — which shells out to the CUDA binary per run and
+re-parses text logs — runs execute in-process on the device-resident engine,
+and scoring consumes the in-memory estimates directly (the text-log path
+stays available for drop-in compatibility via runtime.io.write_state_log).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import SlamConfig
+from ..eval import simdata
+from ..eval.ospa import extract_map_estimate, ospa_distance
+from ..slam import SynthSLAMRunner
+
+
+@dataclass
+class BatchResult:
+    pose_err: np.ndarray      # [R, T] per-run per-step XY error
+    ospa: np.ndarray          # [R, S] per-run sampled OSPA
+    n_eff: np.ndarray         # [R, T]
+    steps_per_s: np.ndarray   # [R]
+
+    def summary(self) -> dict:
+        return {
+            "mean_pose_err": float(np.nanmean(self.pose_err)),
+            "std_pose_err": float(np.nanstd(np.nanmean(self.pose_err,
+                                                       axis=1))),
+            "final_pose_err": float(np.nanmean(self.pose_err[:, -1])),
+            "mean_ospa": float(np.nanmean(self.ospa)),
+            "std_ospa": float(np.nanstd(np.nanmean(self.ospa, axis=1))),
+            "final_ospa": float(np.nanmean(self.ospa[:, -1])),
+            "mean_steps_per_s": float(np.mean(self.steps_per_s)),
+            "n_runs": int(len(self.pose_err)),
+        }
+
+
+def generate_batch_datasets(out_root: str, n_runs: int = 10,
+                            n_landmarks: int = 40, n_steps: int = 150,
+                            dt: float = 0.1, seed: int = 0,
+                            sp: Optional[simdata.SensorParams] = None,
+                            mp: Optional[simdata.AckermanParams] = None):
+    """Generate ground truth + N Monte-Carlo input dirs
+    (generate_simdata.py:34-73). Returns the ground-truth npz path."""
+    sp = sp or simdata.SensorParams()
+    mp = mp or simdata.AckermanParams()
+    landmarks, traj, controls = simdata.generate_world(
+        n_landmarks=n_landmarks, n_steps=n_steps, dt=dt, seed=seed, mp=mp)
+    os.makedirs(out_root, exist_ok=True)
+    gt_path = os.path.join(out_root, "groundtruth.npz")
+    np.savez(gt_path, landmarks=landmarks, traj=traj, controls=controls)
+    for r in range(n_runs):
+        run_dir = os.path.join(out_root, f"run{r:03d}")
+        noisy_controls, measurements = simdata.generate_run(
+            landmarks, traj, controls, sp, mp, seed=seed + 1000 + r)
+        simdata.write_run_dir(run_dir, noisy_controls, measurements)
+    return gt_path
+
+
+def run_batch(cfg: SlamConfig, data_root: str, n_runs: Optional[int] = None,
+              ospa_every: int = 10, runner_mode: str = "async",
+              verbose: bool = False) -> BatchResult:
+    """Run the filter over every run directory under ``data_root`` and score
+    against ``groundtruth.npz`` (batch_run.py + batch_analyze.py)."""
+    gt = np.load(os.path.join(data_root, "groundtruth.npz"))
+    traj, landmarks = gt["traj"], gt["landmarks"]
+    run_dirs = sorted(d for d in os.listdir(data_root)
+                      if d.startswith("run"))
+    if n_runs:
+        run_dirs = run_dirs[:n_runs]
+
+    all_pe, all_ospa, all_neff, all_sps = [], [], [], []
+    for rd in run_dirs:
+        runner = SynthSLAMRunner(cfg, os.path.join(data_root, rd))
+        if runner_mode == "chunked":
+            res = runner.run_chunked(collect_maps=True)
+        else:
+            res = runner.run()
+            res["map_weights"] = np.asarray(
+                [np.asarray(o.map_weight) for o in res["outs"]])
+            res["map_means"] = np.asarray(
+                [np.asarray(o.map_mean) for o in res["outs"]])
+        est = res["est_poses"]
+        T = min(len(est), len(traj))
+        pe = np.linalg.norm(est[:T, :2] - traj[:T, :2], axis=1)
+        ospas = []
+        for k in range(0, T, ospa_every):
+            est_map = extract_map_estimate(res["map_weights"][k],
+                                           res["map_means"][k])
+            o, _, _ = ospa_distance(landmarks, est_map, p=1, c=5)
+            ospas.append(o)
+        all_pe.append(pe)
+        all_ospa.append(ospas)
+        all_neff.append(res["n_eff"][:T])
+        all_sps.append(res["steps_per_s"])
+        if verbose:
+            print(f"{rd}: mean_pose_err={pe.mean():.3f} "
+                  f"mean_ospa={np.mean(ospas):.3f} "
+                  f"{res['steps_per_s']:.1f} steps/s")
+
+    L = min(map(len, all_pe))
+    S = min(map(len, all_ospa))
+    return BatchResult(
+        pose_err=np.asarray([p[:L] for p in all_pe]),
+        ospa=np.asarray([o[:S] for o in all_ospa]),
+        n_eff=np.asarray([n[:L] for n in all_neff]),
+        steps_per_s=np.asarray(all_sps))
+
+
+if __name__ == "__main__":
+    import argparse
+
+    from ..config import load_config
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("data_root")
+    ap.add_argument("--generate", type=int, metavar="N_RUNS", default=0)
+    ap.add_argument("--runs", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=150)
+    args = ap.parse_args()
+    cfg = load_config(args.config)
+    if args.generate:
+        generate_batch_datasets(args.data_root, n_runs=args.generate,
+                                n_steps=args.steps)
+    res = run_batch(cfg, args.data_root, n_runs=args.runs, verbose=True)
+    print(res.summary())

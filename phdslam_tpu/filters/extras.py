@@ -1,0 +1,134 @@
+"""Auxiliary filter estimators: EAP expected map, MC map variance,
+single-feature particle weighting.
+
+Reference specs:
+* EAP expected map — weight-scaled concatenation of all particle maps reduced
+  by GM merge (computeExpectedMap, /root/reference/src/main.cpp:290-316;
+  GPU pairwise version phdfilter.cu:3779-3876; matlab/computeExpectedMap.m).
+* MC map variance — phdVarianceKernel (phdfilter.cu:2643-2705): draw one
+  sample from each updated component, evaluate the component at it; sum
+  ``val`` for non-detection terms and ``val*(1-val)`` for detection/birth
+  terms over nSamples draws. NB the reference feeds LOG densities into the
+  ``val*(1-val)`` form (sampleAndEvalGaussian returns evalGaussian's log
+  value, device_math.cuh:600-605) — a unit bug of the same class as the
+  evalGaussian sign bug; we use linear-domain values.
+* Single-feature (RB) particle weighting — scheme 2, host-side
+  (phdfilter.cu:3599-3661): locate the (measurement, feature) pre-update
+  term with the highest single-object likelihood, evaluate the predicted and
+  updated GMs at its updated mean, and scale the particle weight by
+  ``a * v_predict / (b * v_update)``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..ops.gm_merge import gm_merge
+from ..ops.math import gaussian_logpdf, safe_log
+from ..types import GMState
+
+
+def eap_expected_map(gm: GMState, log_weight, cfg: SlamConfig,
+                     out_cap=None):
+    """Expected a-posteriori map: merge the particle-weight-scaled
+    concatenation of all particles' maps (main.cpp:363-379).
+
+    Returns (mean[out_cap, D], cov, weight).
+    """
+    P, K, D = gm.mean.shape
+    out_cap = out_cap or K
+    w_scale = jnp.exp(log_weight)[:, None] * gm.weight        # [P, K]
+    flat_mean = gm.mean.reshape(P * K, D)
+    flat_cov = gm.cov.reshape(P * K, D, D)
+    flat_w = w_scale.reshape(P * K)
+    active = flat_w > 0
+    eye = jnp.eye(D, dtype=flat_mean.dtype)
+    flat_cov = jnp.where(active[:, None, None], flat_cov, eye)
+    mean, cov, weight, _, _ = gm_merge(
+        flat_mean, flat_cov, flat_w, active, cfg.min_separation, out_cap,
+        cfg.distance_metric)
+    return mean, cov, weight
+
+
+def map_variance(gm: GMState, n_nondetect, key, cfg: SlamConfig):
+    """MC map-variance estimate per particle (phdVarianceKernel).
+
+    ``gm`` holds the post-update components; the first ``n_nondetect`` slots
+    per particle are treated as non-detection terms (``+val``), the rest as
+    detection/birth terms (``+val*(1-val)``), averaged over cfg.n_samples
+    draws. Returns [P].
+    """
+    P, K, D = gm.mean.shape
+    S = cfg.n_samples
+    eps = jax.random.normal(key, (P, K, S, D), gm.mean.dtype)
+    L = jnp.linalg.cholesky(gm.cov + 1e-9 * jnp.eye(D, dtype=gm.mean.dtype))
+    x = gm.mean[:, :, None, :] + jnp.einsum("pkij,pksj->pksi", L, eps)
+    logpdf = gaussian_logpdf(x, gm.mean[:, :, None, :],
+                             gm.cov[:, :, None, :, :])
+    val = gm.weight[:, :, None] * jnp.exp(logpdf)             # [P, K, S]
+    is_nd = (jnp.arange(K) < n_nondetect)[None, :, None]
+    live = (gm.weight > 0)[:, :, None]
+    contrib = jnp.where(is_nd, val, val * (1.0 - val))
+    return jnp.sum(jnp.where(live, contrib, 0.0), axis=(1, 2)) / S
+
+
+def mc_variance_candidates(mean, cov, weight, n_nondetect, n_samples, key):
+    """Single-particle MC variance over the pre-merge update candidate array
+    (layout [K nondetect | M*K detections | M births], phdVarianceKernel).
+
+    Accumulates over samples with a fori_loop to keep memory at O(N*D) per
+    iteration instead of O(N*S*D).
+    """
+    N, D = mean.shape
+    L = jnp.linalg.cholesky(cov + 1e-9 * jnp.eye(D, dtype=mean.dtype))
+    live = weight > 0
+    is_nd = jnp.arange(N) < n_nondetect
+
+    def body(s, acc):
+        eps = jax.random.normal(jax.random.fold_in(key, s), (N, D),
+                                mean.dtype)
+        x = mean + jnp.einsum("nij,nj->ni", L, eps)
+        val = weight * jnp.exp(gaussian_logpdf(x, mean, cov))
+        contrib = jnp.where(is_nd, val, val * (1.0 - val))
+        return acc + jnp.sum(jnp.where(live, contrib, 0.0))
+
+    total = jax.lax.fori_loop(0, n_samples, body, jnp.zeros((), mean.dtype))
+    return total / n_samples
+
+
+def eval_gm(gm_mean, gm_cov, gm_weight, x):
+    """v(x) = sum_j w_j N(x; m_j, P_j), linear domain (evalGaussianMixture —
+    without its +0.5 exponent sign bug, device_math.cuh:153-179)."""
+    logpdf = gaussian_logpdf(x[None, :], gm_mean, gm_cov)
+    val = gm_weight * jnp.exp(logpdf)
+    return jnp.sum(jnp.where(gm_weight > 0, val, 0.0))
+
+
+def single_feature_dlogw(log_like, mean_det, det_valid,
+                         pred_mean, pred_cov, pred_w,
+                         upd_mean, upd_cov, upd_w, cfg: SlamConfig):
+    """Scheme-2 weight increment for one particle (phdfilter.cu:3599-3661).
+
+    log_like[M, K]: single-object log likelihoods from the pre-update;
+    mean_det[M, K, D]: updated means; pred_*: predicted map; upd_*: merged
+    updated map.
+    """
+    M = jnp.sum(jnp.any(det_valid, axis=1).astype(log_like.dtype))
+    ll = jnp.where(det_valid, log_like, -jnp.inf)
+    flat = jnp.argmax(ll)
+    max_like = jnp.exp(jnp.max(ll))
+    x_star = mean_det.reshape(-1, mean_det.shape[-1])[flat]
+
+    cn_predict = jnp.sum(pred_w)
+    cn_update = jnp.sum(upd_w)
+    v_predict = eval_gm(pred_mean, pred_cov, pred_w, x_star)
+    v_update = eval_gm(upd_mean, upd_cov, upd_w, x_star)
+
+    cd = cfg.clutter_density
+    a = (1.0 - cfg.pd) * cd * M \
+        + cfg.pd * M * ((M - 1.0) * cd * max_like)
+    b = jnp.exp(cn_update - cn_predict - cfg.clutter_rate)
+    factor = (a * v_predict) / jnp.maximum(b * v_update, 1e-30)
+    return safe_log(factor)

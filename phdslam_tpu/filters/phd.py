@@ -94,11 +94,14 @@ def predict(state: FilterState, control, dt, cfg: SlamConfig,
 # Per-particle GM-PHD measurement update
 # ----------------------------------------------------------------------------
 
-def _update_single(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig):
+def _update_single(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
+                   key=None):
     """Single-particle GM-PHD update (phdUpdateKernel, phdfilter.cu:2083-2321).
 
-    Returns (new_mean, new_cov, new_weight, dlog_w, overflow).
+    Returns (new_mean, new_cov, new_weight, dlog_w, overflow[, variance]).
     Shapes: mean [K, D], cov [K, D, D], weight [K], z [M, 2], z_mask [M].
+    ``variance`` is appended when cfg.compute_variance and a key is given
+    (phdVarianceKernel on the pre-merge candidate array).
     """
     K, D = mean.shape
     M = z.shape[0]
@@ -110,7 +113,8 @@ def _update_single(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig):
     out_m = (cls == measurement.OUT_OF_RANGE) & (weight > 0)
 
     pre = ekf.ekf_preupdate(pose, mean, cov, cfg)
-    mean_det, logw_part, _ = ekf.ekf_detection_terms(pre, mean, weight, z, cfg)
+    mean_det, logw_part, log_like = ekf.ekf_detection_terms(pre, mean, weight,
+                                                            z, cfg)
 
     det_valid = z_mask[:, None] & in_m[None, :]
     logw_part = jnp.where(det_valid, logw_part, LOG0)
@@ -179,6 +183,12 @@ def _update_single(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig):
     cand_cov = jnp.where(cand_act[:, None, None], cand_cov, eye)
     cand_w = jnp.where(cand_act, cand_w, 0.0)
 
+    variance = None
+    if cfg.compute_variance and key is not None:
+        from .extras import mc_variance_candidates
+        variance = mc_variance_candidates(
+            cand_mean, cand_cov, cand_w, K, cfg.n_samples, key)
+
     mg_mean, mg_cov, mg_w, n_merged, n_dropped = gm_merge(
         cand_mean, cand_cov, cand_w, cand_act,
         cfg.min_separation, K, cfg.distance_metric)
@@ -202,10 +212,21 @@ def _update_single(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig):
 
     total_live = jnp.sum((all_w > 0).astype(jnp.int32))
     overflow = jnp.maximum(total_live - K, 0) + n_dropped
+
+    if cfg.particle_weighting == 2:
+        # RB single-feature weighting runs on the post-merge map
+        # (phdfilter.cu:3599-3661)
+        from .extras import single_feature_dlogw
+        dlog_w = single_feature_dlogw(
+            log_like, mean_det, det_valid, mean, cov, weight,
+            new_mean, new_cov, new_w, cfg)
+
+    if variance is not None:
+        return new_mean, new_cov, new_w, dlog_w, overflow, variance
     return new_mean, new_cov, new_w, dlog_w, overflow
 
 
-def update(state: FilterState, z, z_mask, cfg: SlamConfig):
+def update(state: FilterState, z, z_mask, cfg: SlamConfig, key=None):
     """Measurement update over all particles (phdUpdateSynth, :3336-3761)."""
     if cfg.feature_model == 0:
         gm = state.map_static
@@ -215,19 +236,31 @@ def update(state: FilterState, z, z_mask, cfg: SlamConfig):
         from .mixed import mixed_update
         return mixed_update(state, z, z_mask, cfg)
 
-    upd = jax.vmap(
-        lambda p, m, c, w: _update_single(p, m, c, w, z, z_mask, cfg)
-    )(state.pose, gm.mean, gm.cov, gm.weight)
-    new_mean, new_cov, new_w, dlog_w, overflow = upd
+    with_var = cfg.compute_variance and key is not None
+    if with_var:
+        keys = jax.random.split(key, state.pose.shape[0])
+        upd = jax.vmap(
+            lambda p, m, c, w, k: _update_single(p, m, c, w, z, z_mask, cfg,
+                                                 k)
+        )(state.pose, gm.mean, gm.cov, gm.weight, keys)
+        new_mean, new_cov, new_w, dlog_w, overflow, variance = upd
+    else:
+        upd = jax.vmap(
+            lambda p, m, c, w: _update_single(p, m, c, w, z, z_mask, cfg)
+        )(state.pose, gm.mean, gm.cov, gm.weight)
+        new_mean, new_cov, new_w, dlog_w, overflow = upd
+        variance = state.variance
 
     log_w = state.log_weight + dlog_w
     log_w = log_w - logsumexp(log_w, axis=0)  # (phdfilter.cu:3748-3755)
 
     new_gm = GMState(mean=new_mean, cov=new_cov, weight=new_w)
     if cfg.feature_model == 0:
-        state = state.replace(map_static=new_gm, log_weight=log_w)
+        state = state.replace(map_static=new_gm, log_weight=log_w,
+                              variance=variance)
     else:
-        state = state.replace(map_dynamic=new_gm, log_weight=log_w)
+        state = state.replace(map_dynamic=new_gm, log_weight=log_w,
+                              variance=variance)
     return state, jnp.max(overflow)
 
 
@@ -299,7 +332,7 @@ def phd_step(state: FilterState, z, z_mask, control, dt, do_predict,
     (filters/cphd.py, functional spec §3.5 of SURVEY.md).
     """
     key = jax.random.fold_in(state.rng, state.step)
-    k_pred, k_res = jax.random.split(key)
+    k_pred, k_res, k_var = jax.random.split(key, 3)
 
     predicted = predict(state, control, dt, cfg, k_pred)
     state = jax.tree.map(
@@ -311,7 +344,7 @@ def phd_step(state: FilterState, z, z_mask, control, dt, do_predict,
         consts = cphd_constants(cfg, state.pose.dtype)
         updated, overflow = cphd_update(state, z, z_mask, consts, cfg)
     else:
-        updated, overflow = update(state, z, z_mask, cfg)
+        updated, overflow = update(state, z, z_mask, cfg, k_var)
     state = jax.tree.map(lambda a, b: jnp.where(has_z, a, b), updated, state)
     overflow = jnp.where(has_z, overflow, 0)
 

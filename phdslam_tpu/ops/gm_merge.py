@@ -51,6 +51,14 @@ def gm_merge(mean, cov, weight, active, min_separation, out_cap,
     dtype = mean.dtype
     active = active & (weight > 0)
 
+    # Force materialization of the candidate arrays before the loop: without
+    # this barrier XLA fuses/rematerializes their (expensive) producer chain
+    # — the whole EKF pre-update — into every while_loop iteration, which
+    # measured ~1000x slower on TPU (see BENCH notes; loop-invariant inputs
+    # must be loop constants, not fused recomputations).
+    mean, cov, weight, active = jax.lax.optimization_barrier(
+        (mean, cov, weight, active))
+
     out_mean = jnp.zeros((out_cap, D), dtype=dtype)
     out_cov = jnp.broadcast_to(jnp.eye(D, dtype=dtype), (out_cap, D, D))
     out_weight = jnp.zeros((out_cap,), dtype=dtype)

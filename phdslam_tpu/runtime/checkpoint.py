@@ -1,0 +1,97 @@
+"""Checkpoint / resume / snapshot-replay profiling.
+
+The reference's only persistence is a boost binary serialization of the full
+``SynthSLAM`` + measurement set at step 100 (``state100.bin``,
+/root/reference/src/main.cpp:87-145, 1262-1269), reloaded by the profiling
+mode to replay a single ``phdUpdateSynth`` (main.cpp:1314-1321).
+
+Here: general checkpointing of the sharded filter-state pytree (orbax when
+available, numpy fallback), usable every N steps for preemption recovery
+(SURVEY.md §5), plus the same single-update replay harness.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+
+def save_checkpoint(path: str, state: Any, extra: Optional[dict] = None):
+    """Save a filter-state pytree (+ optional extras dict of arrays)."""
+    path = os.path.abspath(path)
+    payload = {"state": state}
+    if extra:
+        payload["extra"] = extra
+    if _HAVE_ORBAX:
+        ckptr = ocp.StandardCheckpointer()
+        host_payload = jax.tree.map(np.asarray, payload)
+        ckptr.save(path, host_payload, force=True)
+        ckptr.wait_until_finished()
+    else:  # pragma: no cover
+        leaves, treedef = jax.tree.flatten(payload)
+        os.makedirs(path, exist_ok=True)
+        np.savez(os.path.join(path, "leaves.npz"),
+                 *[np.asarray(x) for x in leaves])
+        with open(os.path.join(path, "treedef.pkl"), "wb") as fh:
+            pickle.dump(treedef, fh)
+
+
+def load_checkpoint(path: str, like: Any):
+    """Load a checkpoint saved by :func:`save_checkpoint`.
+
+    ``like`` is a pytree with the same structure (e.g. a fresh init_state)
+    used to restore types/shapes.
+    """
+    path = os.path.abspath(path)
+    payload_like = {"state": like}
+    if _HAVE_ORBAX:
+        ckptr = ocp.StandardCheckpointer()
+        host_like = jax.tree.map(np.asarray, payload_like)
+        restored = ckptr.restore(path, host_like)
+        return jax.tree.map(jax.numpy.asarray, restored["state"])
+    else:  # pragma: no cover
+        with open(os.path.join(path, "treedef.pkl"), "rb") as fh:
+            treedef = pickle.load(fh)
+        data = np.load(os.path.join(path, "leaves.npz"))
+        leaves = [data[k] for k in data.files]
+        return jax.tree.unflatten(treedef, leaves)["state"]
+
+
+def profile_single_update(cfg, ckpt_path: str, z=None, z_mask=None):
+    """Reload a checkpoint and execute exactly one measurement update —
+    the reference's kernel-profiling harness (main.cpp:1314-1321).
+
+    Returns {"est_poses": [1, 6], "update_ms": float}.
+    """
+    import time
+
+    import jax.numpy as jnp
+
+    from ..filters.phd import make_step_fn
+    from ..types import init_state
+
+    state = load_checkpoint(ckpt_path, init_state(cfg))
+    step = make_step_fn(cfg, donate=False)
+    if z is None:
+        z = jnp.zeros((cfg.max_measurements, 2), jnp.float32)
+        z_mask = jnp.zeros((cfg.max_measurements,), bool)
+    args = (state, z, z_mask, jnp.zeros((2,), jnp.float32),
+            jnp.float32(cfg.dt), jnp.asarray(False))
+    state2, out = step(*args)            # compile
+    jax.block_until_ready(out.expected_pose)
+    t0 = time.perf_counter()
+    state2, out = step(*args)
+    jax.block_until_ready(out.expected_pose)
+    ms = (time.perf_counter() - t0) * 1000.0
+    return {"est_poses": np.asarray(out.expected_pose)[None],
+            "update_ms": ms, "steps_per_s": 1000.0 / ms}

@@ -266,6 +266,27 @@ class SynthSLAMRunner:
             out["map_covs"] = cat(base + 3)
         return out
 
+    def write_logs(self, out_dir: str, res: dict, log_every: int = 1):
+        """Write state_estimate logs + loopTime.log from a run_chunked result
+        collected with ``collect_maps=True, collect_particles=True``
+        (main.cpp:848-954, :1300-1305)."""
+        cfg = self.cfg
+        os.makedirs(out_dir, exist_ok=True)
+        T = len(res["est_poses"])
+        for n in range(0, T, log_every):
+            gm = (res["map_weights"][n], res["map_means"][n],
+                  res["map_covs"][n])
+            io.write_state_log(
+                out_dir, n, res["est_poses"][n],
+                gm if cfg.feature_model == 0 else None,
+                gm if cfg.feature_model == 1 else None,
+                res["log_weights"][n], res["poses"][n],
+                res["resample_idx"][n], None,
+                cfg.max_cardinality, cfg.filter_type)
+        with open(os.path.join(out_dir, "loopTime.log"), "w") as fh:
+            per_step = res["wall_s"] * 1000.0 / max(1, T)
+            fh.write("\n".join("%g" % per_step for _ in range(T)) + "\n")
+
     def run(self, out_dir: Optional[str] = None, log_every: int = 1,
             verbose: bool = False, sync_every: int = 0,
             collect_state_logs: bool = False):

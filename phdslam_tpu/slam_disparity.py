@@ -1,0 +1,94 @@
+"""Disparity (monocular SC-PHD) SLAM driver.
+
+TPU-native equivalent of ``run_disparity`` (/root/reference/src/
+main.cpp:1324-1440): loads per-step (u, v) image measurement sets, derives
+the image-space clutter density, runs the jitted SC-PHD step, and reports
+the estimated 6-DOF camera trajectory.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SlamConfig
+from .filters.disparity import init_disparity_state, make_disparity_step_fn
+from .runtime import io
+
+
+def load_image_measurements(path: str) -> List[np.ndarray]:
+    """One time step per line; pairs of (u, v) (loadMeasurements
+    <imageMeasurementSet>, main.cpp:221-245)."""
+    out: List[np.ndarray] = []
+    with open(path) as fh:
+        first = True
+        for line in fh:
+            if first:
+                first = False
+                continue
+            vals = np.fromstring(line, sep=" ") if line.strip() \
+                else np.empty(0)
+            n = (len(vals) // 2) * 2
+            out.append(vals[:n].reshape(-1, 2).astype(np.float32))
+    if out and out[-1].size == 0:
+        out.pop()
+    return out
+
+
+def run_disparity(cfg: SlamConfig, data_dir: Optional[str] = None,
+                  out_dir: Optional[str] = None, verbose: bool = False):
+    """Run the SC-PHD filter over an image-measurement dataset."""
+    data_dir = data_dir or cfg.data_directory
+    measurements = load_image_measurements(
+        os.path.join(data_dir, "measurements.txt"))
+    n_steps = cfg.n_steps if cfg.n_steps > 0 else len(measurements)
+    measurements = measurements[:n_steps]
+
+    m_max = min(max(8, max((len(z) for z in measurements), default=1)),
+                cfg.max_measurements)
+    z, mask = io.pad_measurements(measurements, m_max)
+
+    step = make_disparity_step_fn(cfg)
+    state = init_disparity_state(cfg)
+    z_dev = jnp.asarray(z)
+    mask_dev = jnp.asarray(mask)
+
+    est_poses = []
+    n_effs = []
+    t0 = time.perf_counter()
+    outs = []
+    for n in range(len(measurements)):
+        state, out = step(state, z_dev[n], mask_dev[n],
+                          jnp.float32(cfg.dt), jnp.asarray(n > 0))
+        outs.append(out)
+        if verbose and n % 20 == 0:
+            print(f"step {n}/{len(measurements)} "
+                  f"nEff={float(out.n_eff):.3f}")
+    jax.block_until_ready(outs[-1].n_eff)
+    wall = time.perf_counter() - t0
+    est_poses = np.asarray(jnp.stack([o.expected_pose for o in outs]))
+    n_effs = np.asarray(jnp.stack([o.n_eff for o in outs]))
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "loopTime.log"), "w") as fh:
+            per_step = wall * 1000.0 / max(1, len(outs))
+            fh.write("\n".join("%g" % per_step for _ in outs) + "\n")
+        np.savetxt(os.path.join(out_dir, "trajectory.txt"), est_poses)
+
+    if np.isnan(n_effs).any():
+        first = int(np.argmax(np.isnan(n_effs)))
+        print(f"nan weights detected at step {first}!")  # main.cpp:1424-1428
+
+    return {
+        "est_poses": est_poses,
+        "n_eff": n_effs,
+        "wall_s": wall,
+        "steps_per_s": len(outs) / wall,
+        "final_state": state,
+    }

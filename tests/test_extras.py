@@ -1,0 +1,96 @@
+"""EAP map, MC variance, and single-feature weighting tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phdslam_tpu.config import SlamConfig
+from phdslam_tpu.filters.extras import (eap_expected_map,
+                                        mc_variance_candidates)
+from phdslam_tpu.types import GMState
+
+
+def test_eap_expected_map_merges_across_particles():
+    cfg = SlamConfig(min_separation=4.0, distance_metric=0)
+    P, K = 4, 8
+    gm = GMState.empty(P, K, 2)
+    # all particles see the same feature at (5, 5) with w=0.9
+    mean = np.zeros((P, K, 2), np.float32)
+    mean[:, 0] = [5.0, 5.0]
+    w = np.zeros((P, K), np.float32)
+    w[:, 0] = 0.9
+    gm = GMState(mean=jnp.asarray(mean),
+                 cov=gm.cov, weight=jnp.asarray(w))
+    log_weight = jnp.full((P,), -np.log(P), jnp.float32)
+    m, c, wt = eap_expected_map(gm, log_weight, cfg)
+    live = np.asarray(wt) > 0
+    assert live.sum() == 1
+    np.testing.assert_allclose(np.asarray(m)[live][0], [5.0, 5.0], atol=1e-5)
+    # total EAP weight = sum_p exp(logw_p) * 0.9 = 0.9
+    np.testing.assert_allclose(float(np.asarray(wt)[live][0]), 0.9,
+                               rtol=1e-5)
+
+
+def test_mc_variance_is_finite_and_positive():
+    key = jax.random.PRNGKey(0)
+    N = 6
+    mean = jnp.asarray(np.random.default_rng(0).normal(0, 5, (N, 2)),
+                       jnp.float32)
+    cov = jnp.broadcast_to(jnp.eye(2) * 0.5, (N, 2, 2)).astype(jnp.float32)
+    w = jnp.asarray([0.5, 0.4, 0.0, 0.8, 0.2, 0.0], jnp.float32)
+    v = mc_variance_candidates(mean, cov, w, 2, 32, key)
+    assert np.isfinite(float(v))
+    assert float(v) > 0
+
+
+def test_scheme2_weighting_runs_e2e():
+    from phdslam_tpu.filters.phd import make_step_fn
+    from phdslam_tpu.types import init_state
+
+    cfg = SlamConfig(
+        n_particles=8, max_features=16, max_measurements=4, motion_type=0,
+        feature_model=0, filter_type=0, particle_weighting=2,
+        max_range=20.0, std_range=0.25, std_bearing=0.02, clutter_rate=2.0,
+        pd=0.95, birth_weight=0.05, min_separation=2.0,
+        resample_threshold=0.3, ax=0.1, ay=0.1, ayaw=0.01, seed=1)
+    step = make_step_fn(cfg, donate=False)
+    state = init_state(cfg)
+    rng = np.random.default_rng(7)
+    landmarks = np.array([[5.0, 2.0], [8.0, -3.0]])
+    for n in range(8):
+        r = np.linalg.norm(landmarks, axis=1) + rng.normal(0, 0.25, 2)
+        b = np.arctan2(landmarks[:, 1], landmarks[:, 0]) \
+            + rng.normal(0, 0.02, 2)
+        z = np.zeros((4, 2), np.float32)
+        z[:2] = np.stack([r, b], axis=1)
+        mask = np.zeros((4,), bool)
+        mask[:2] = True
+        state, out = step(state, jnp.asarray(z), jnp.asarray(mask),
+                          jnp.zeros((2,), jnp.float32), jnp.float32(0.1),
+                          jnp.asarray(n > 0))
+    assert np.isfinite(np.asarray(state.log_weight)).all()
+    w = np.asarray(state.map_static.weight[0])
+    assert (w > 0.4).sum() >= 2
+
+
+def test_variance_estimator_in_step():
+    from phdslam_tpu.filters.phd import make_step_fn
+    from phdslam_tpu.types import init_state
+
+    cfg = SlamConfig(
+        n_particles=4, max_features=8, max_measurements=4, motion_type=0,
+        feature_model=0, filter_type=0, particle_weighting=1,
+        compute_variance=True, n_samples=8,
+        max_range=20.0, std_range=0.25, std_bearing=0.02, clutter_rate=2.0,
+        pd=0.95, birth_weight=0.05, min_separation=2.0,
+        resample_threshold=0.3, seed=1)
+    step = make_step_fn(cfg, donate=False)
+    state = init_state(cfg)
+    z = jnp.asarray([[5.0, 0.3], [7.0, -0.4], [0, 0], [0, 0]], jnp.float32)
+    mask = jnp.asarray([True, True, False, False])
+    for n in range(3):
+        state, out = step(state, z, mask, jnp.zeros((2,), jnp.float32),
+                          jnp.float32(0.1), jnp.asarray(n > 0))
+    v = np.asarray(state.variance)
+    assert np.isfinite(v).all()
+    assert (v != 0).any()

@@ -1,0 +1,96 @@
+"""Checkpoint/resume, batch harness, and CLI driver tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phdslam_tpu.config import SlamConfig
+from phdslam_tpu.eval.batch import generate_batch_datasets, run_batch
+from phdslam_tpu.filters.phd import make_step_fn
+from phdslam_tpu.runtime.checkpoint import (load_checkpoint,
+                                            profile_single_update,
+                                            save_checkpoint)
+from phdslam_tpu.types import init_state
+
+
+def small_cfg(**kw):
+    d = dict(n_particles=8, max_features=16, max_measurements=8,
+             motion_type=1, feature_model=0, filter_type=0,
+             l=2.83, h=0.76, a=3.78, b=0.5, std_encoder=2.0,
+             std_alpha=0.0873, max_range=10.0, std_range=1.0,
+             std_bearing=0.0349, clutter_rate=5.0, pd=0.95,
+             birth_weight=0.05, min_separation=5.0, particle_weighting=0,
+             resample_threshold=0.15, dt=0.1, seed=9)
+    d.update(kw)
+    return SlamConfig(**d)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = small_cfg()
+    step = make_step_fn(cfg, donate=False)
+    state = init_state(cfg)
+    z = jnp.asarray([[5.0, 0.2], [7.0, -0.3]] + [[0, 0]] * 6, jnp.float32)
+    mask = jnp.asarray([True, True] + [False] * 6)
+    for n in range(3):
+        state, _ = step(state, z, mask, jnp.asarray([1.0, 0.05], jnp.float32),
+                        jnp.float32(0.1), jnp.asarray(n > 0))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    restored = load_checkpoint(path, init_state(cfg))
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_profile_single_update(tmp_path):
+    cfg = small_cfg()
+    state = init_state(cfg)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    res = profile_single_update(cfg, path)
+    assert np.isfinite(res["est_poses"]).all()
+    assert res["update_ms"] > 0
+
+
+@pytest.fixture(scope="module")
+def batch_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("batch"))
+    generate_batch_datasets(root, n_runs=2, n_landmarks=15, n_steps=30,
+                            seed=3)
+    return root
+
+
+def test_batch_run_and_analyze(batch_root):
+    cfg = small_cfg(n_particles=16, max_features=32, max_measurements=32,
+                    clutter_rate=20.0)
+    cfg.data_directory = batch_root
+    res = run_batch(cfg, batch_root, ospa_every=10)
+    s = res.summary()
+    assert s["n_runs"] == 2
+    assert np.isfinite(s["mean_pose_err"])
+    assert np.isfinite(s["mean_ospa"])
+    assert res.pose_err.shape[0] == 2
+    # a working filter on 30 easy steps should stay under a few meters
+    assert s["mean_pose_err"] < 8.0
+
+
+def test_cli_synth(batch_root, tmp_path, capsys):
+    from phdslam_tpu.__main__ import main
+    cfg_path = str(tmp_path / "t.cfg")
+    with open(cfg_path, "w") as fh:
+        fh.write("motion_type = 1\nn_particles = 8\nmax_features = 16\n"
+                 "max_measurements = 16\nl = 2.83\nh = 0.76\na = 3.78\n"
+                 "b = 0.5\nstd_encoder = 2\nstd_alpha = 0.0873\n"
+                 "max_range = 10\nstd_range = 1\nstd_bearing = 0.0349\n"
+                 "clutter_rate = 20\npd = 0.95\nfilter_type = 0\n"
+                 f"data_directory = {batch_root}/run000\n")
+    out_dir = str(tmp_path / "out")
+    rc = main([cfg_path, "synth", "--out-dir", out_dir, "--steps", "12",
+               "--runner", "chunked"])
+    assert rc == 0
+    logs = [f for f in os.listdir(out_dir) if f.startswith("state_estimate")]
+    assert len(logs) == 12
+    assert os.path.exists(os.path.join(out_dir, "loopTime.log"))
+    assert os.path.exists(os.path.join(out_dir, "config.cfg"))
