@@ -55,6 +55,8 @@ def load_measurements(path: str, labeled: bool = False) -> List[np.ndarray]:
 
 def load_controls(path: str) -> np.ndarray:
     """Load (v_encoder, alpha) controls; [N, 2] (main.cpp:169-189)."""
+    if _native_textio is not None:
+        return _native_textio.load_controls(path)
     rows = []
     with open(path) as fh:
         first = True
