@@ -141,6 +141,12 @@ class SlamConfig:
     # MC map-variance estimator (phdVarianceKernel): the reference runs it
     # unconditionally on the static path; here it is opt-in (diagnostic only)
     compute_variance: bool = False
+    # Merge-candidate compaction: the update produces K*(M+1)+M candidates
+    # (phdfilter.cu:3078) but only a few hundred carry weight above
+    # min_feature_weight. top-k-compact to this many lanes before the greedy
+    # merge loop (0 = disabled). Drops only the lowest-weight tail and
+    # reports drops via the overflow counter.
+    merge_candidate_cap: int = 512
 
     # ------------------------------------------------------------------
     @property
@@ -249,6 +255,7 @@ _OPTION_MAP = {
     "dtype": "dtype",
     "seed": "seed",
     "compute_variance": "compute_variance",
+    "merge_candidate_cap": "merge_candidate_cap",
 }
 
 _LINE_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*?)\s*$")

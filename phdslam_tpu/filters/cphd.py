@@ -37,7 +37,7 @@ from jax.scipy.special import gammaln
 from ..config import SlamConfig
 from ..models import measurement
 from ..ops import ekf
-from ..ops.gm_merge import gm_merge
+from ..ops.gm_merge import compact_candidates, gm_merge
 from ..ops.math import LOG0, logsumexp, masked_logsumexp, safe_log
 from ..types import FilterState, GMState
 
@@ -302,15 +302,18 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
     cand_cov = jnp.where(cand_act[:, None, None], cand_cov, eye)
     cand_w = jnp.where(cand_act, cand_w, 0.0)
 
+    cand_mean, cand_cov, cand_w, cand_act, n_compact = compact_candidates(
+        cand_mean, cand_cov, cand_w, cand_act, cfg.merge_candidate_cap)
     mg_mean, mg_cov, mg_w, _, n_dropped = gm_merge(
         cand_mean, cand_cov, cand_w, cand_act,
         cfg.min_separation, K, cfg.distance_metric)
+    n_dropped = n_dropped + n_compact
 
     all_mean = jnp.concatenate([mg_mean, mean], axis=0)
     all_cov = jnp.concatenate([mg_cov, cov], axis=0)
     all_w = jnp.concatenate([mg_w, jnp.where(out_m, weight, 0.0)], axis=0)
 
-    order = jnp.argsort(-all_w)[:K]
+    _, order = jax.lax.top_k(all_w, K)
     new_mean = all_mean[order]
     new_cov = all_cov[order]
     new_w = all_w[order]
@@ -346,7 +349,7 @@ def add_births(gm: GMState, pose, z, z_mask, cfg: SlamConfig):
     all_cov = jnp.concatenate([gm.cov, b_cov], axis=1)
     all_w = jnp.concatenate([gm.weight, b_w], axis=1)
 
-    order = jnp.argsort(-all_w, axis=1)[:, :K]
+    _, order = jax.lax.top_k(all_w, K)
     take = lambda x, o: jnp.take_along_axis(
         x, o.reshape(o.shape + (1,) * (x.ndim - 2)), axis=1)
     new_mean = take(all_mean, order)

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..config import SlamConfig
-from ..ops.gm_merge import gm_merge
+from ..ops.gm_merge import compact_candidates, gm_merge
 from ..ops.math import LOG0, logsumexp, safe_log, sym, wrap_angle
 from ..ops.resample import effective_sample_ratio, systematic_ancestors
 
@@ -322,9 +322,12 @@ def _disparity_update_single(cam_pose, cloud, feat_w, z, z_mask, key,
     cand_cov = jnp.where(cand_act[:, None, None], cand_cov, eye3)
     cand_w = jnp.where(cand_act, cand_w, 0.0)
 
+    cand_mean, cand_cov, cand_w, cand_act, n_compact = compact_candidates(
+        cand_mean, cand_cov, cand_w, cand_act, cfg.merge_candidate_cap)
     mg_mean, mg_cov, mg_w, _, n_dropped = gm_merge(
         cand_mean, cand_cov, cand_w, cand_act,
         cfg.min_separation, K, cfg.distance_metric)
+    n_dropped = n_dropped + n_compact
 
     # re-particle-ize merged Gaussians (sampleGaussiansKernel :4250-4304)
     # then transform back to world space
@@ -334,7 +337,7 @@ def _disparity_update_single(cam_pose, cloud, feat_w, z, z_mask, key,
     # recombine: merged (in-range) features + untouched out-of-range clouds
     all_cloud = jnp.concatenate([new_cloud_in, cloud], axis=0)   # [2K, N, 3]
     all_w = jnp.concatenate([mg_w, jnp.where(out_m, feat_w, 0.0)], axis=0)
-    order = jnp.argsort(-all_w)[:K]
+    _, order = jax.lax.top_k(all_w, K)
     new_cloud = all_cloud[order]
     new_w = all_w[order]
     new_w = jnp.where(new_w > 0, new_w, 0.0)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..config import SlamConfig
 from ..models import measurement
 from ..ops import ekf
-from ..ops.gm_merge import gm_merge
+from ..ops.gm_merge import compact_candidates, gm_merge
 from ..ops.math import LOG0, logsumexp, safe_log
 from ..types import FilterState, GMState
 
@@ -70,15 +70,18 @@ def _merge_map(mean, cov, weight, mean_det, cov_upd, w_det, det_valid,
     cand_cov = jnp.where(cand_act[:, None, None], cand_cov, eye)
     cand_w = jnp.where(cand_act, cand_w, 0.0)
 
+    cand_mean, cand_cov, cand_w, cand_act, n_compact = compact_candidates(
+        cand_mean, cand_cov, cand_w, cand_act, cfg.merge_candidate_cap)
     mg_mean, mg_cov, mg_w, _, n_dropped = gm_merge(
         cand_mean, cand_cov, cand_w, cand_act,
         cfg.min_separation, K, cfg.distance_metric)
+    n_dropped = n_dropped + n_compact
 
     all_mean = jnp.concatenate([mg_mean, mean], axis=0)
     all_cov = jnp.concatenate([mg_cov, cov], axis=0)
     all_w = jnp.concatenate([mg_w, jnp.where(out_keep, weight, 0.0)], axis=0)
 
-    order = jnp.argsort(-all_w)[:K]
+    _, order = jax.lax.top_k(all_w, K)
     new_mean = all_mean[order]
     new_cov = all_cov[order]
     new_w = all_w[order]

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..config import SlamConfig
 from ..models import feature_motion, measurement, vehicle
 from ..ops import ekf
-from ..ops.gm_merge import gm_merge
+from ..ops.gm_merge import compact_candidates, gm_merge
 from ..ops.math import LOG0, logsumexp, safe_log
 from ..ops.resample import effective_sample_ratio, systematic_ancestors
 from ..types import FilterState, GMState
@@ -189,9 +189,12 @@ def _update_single(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
         variance = mc_variance_candidates(
             cand_mean, cand_cov, cand_w, K, cfg.n_samples, key)
 
+    cand_mean, cand_cov, cand_w, cand_act, n_compact = compact_candidates(
+        cand_mean, cand_cov, cand_w, cand_act, cfg.merge_candidate_cap)
     mg_mean, mg_cov, mg_w, n_merged, n_dropped = gm_merge(
         cand_mean, cand_cov, cand_w, cand_act,
         cfg.min_separation, K, cfg.distance_metric)
+    n_dropped = n_dropped + n_compact
 
     # recombine with untouched out-of-range features (phdfilter.cu:3311-3318)
     all_mean = jnp.concatenate([mg_mean, mean], axis=0)
@@ -200,7 +203,7 @@ def _update_single(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
 
     # top-K compaction by weight (overflow -> lowest-weight drop; the
     # reference has no capacity, so surface overflow for diagnostics)
-    order = jnp.argsort(-all_w)[:K]
+    _, order = jax.lax.top_k(all_w, K)
     new_mean = all_mean[order]
     new_cov = all_cov[order]
     new_w = all_w[order]
@@ -334,6 +337,26 @@ def phd_step(state: FilterState, z, z_mask, control, dt, do_predict,
     key = jax.random.fold_in(state.rng, state.step)
     k_pred, k_res, k_var = jax.random.split(key, 3)
 
+    # particle "shotgunning" (nPredictParticles, phdfilter.cu:1185-1238):
+    # each particle spawns k prior duplicates that receive independent
+    # prediction noise, weights - log k. The reference lets the expanded set
+    # persist until a resampling contracts it (main.cpp:1281-1297,
+    # n_particles > 5x target); here - to keep shapes static - the set is
+    # ALWAYS contracted back to P by the end-of-step resampler.
+    k_shot = max(1, cfg.n_predict_particles)
+    P_base = state.pose.shape[0]
+    if k_shot > 1:
+        rep = lambda x: jnp.repeat(x, k_shot, axis=0)
+        state = state.replace(
+            pose=rep(state.pose),
+            log_weight=rep(state.log_weight) - jnp.log(float(k_shot)),
+            map_static=jax.tree.map(rep, state.map_static),
+            map_dynamic=jax.tree.map(rep, state.map_dynamic),
+            variance=rep(state.variance),
+            resample_idx=jnp.arange(P_base * k_shot, dtype=jnp.int32),
+            cardinality=(None if state.cardinality is None
+                         else rep(state.cardinality)))
+
     predicted = predict(state, control, dt, cfg, k_pred)
     state = jax.tree.map(
         lambda a, b: jnp.where(do_predict, a, b), predicted, state)
@@ -349,7 +372,19 @@ def phd_step(state: FilterState, z, z_mask, control, dt, do_predict,
     overflow = jnp.where(has_z, overflow, 0)
 
     expected_pose, (mm, mc, mw) = extract(state, cfg)
-    state, n_eff, resampled = maybe_resample(state, has_z, cfg, k_res)
+    if k_shot > 1:
+        # forced contraction P*k -> P (resampleParticles(particles,
+        # config.n_particles), main.cpp:1290)
+        n_eff = effective_sample_ratio(state.log_weight)
+        ancestors = systematic_ancestors(state.log_weight, k_res, P_base)
+        state = _gather_particles(state, ancestors)
+        state = state.replace(
+            log_weight=jnp.full((P_base,), -jnp.log(float(P_base)),
+                                state.log_weight.dtype),
+            resample_idx=ancestors)
+        resampled = jnp.asarray(True)
+    else:
+        state, n_eff, resampled = maybe_resample(state, has_z, cfg, k_res)
     state = state.replace(step=state.step + 1)
 
     out = StepOutputs(expected_pose=expected_pose, map_mean=mm, map_cov=mc,

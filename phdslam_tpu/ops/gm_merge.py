@@ -112,3 +112,28 @@ def gm_merge_batch(mean, cov, weight, active, min_separation, out_cap,
     fn = lambda m, c, w, a: gm_merge(m, c, w, a, min_separation, out_cap,
                                      distance_metric)
     return jax.vmap(fn)(mean, cov, weight, active)
+
+
+def compact_candidates(mean, cov, weight, active, cap):
+    """Top-``cap``-by-weight compaction of a candidate set (single particle).
+
+    The PHD update materializes K*(M+1)+M candidate lanes but only a few
+    hundred are active at reference weight thresholds (SURVEY.md §7.3
+    capacity budgeting). Shrinking the merge input keeps the greedy loop's
+    per-iteration distance sweep - and the XLA program - small.
+
+    Returns (mean[cap, D], cov, weight, active, n_dropped_live).
+    """
+    N, D = mean.shape
+    if cap <= 0 or cap >= N:
+        return mean, cov, weight, active, jnp.zeros((), jnp.int32)
+    w_act = jnp.where(active, weight, -1.0)
+    _, idx = jax.lax.top_k(w_act, cap)
+    sel_act = active[idx] & (weight[idx] > 0)
+    eye = jnp.eye(D, dtype=mean.dtype)
+    out_mean = jnp.where(sel_act[:, None], mean[idx], 0.0)
+    out_cov = jnp.where(sel_act[:, None, None], cov[idx], eye)
+    out_w = jnp.where(sel_act, weight[idx], 0.0)
+    n_live = jnp.sum((active & (weight > 0)).astype(jnp.int32))
+    n_dropped = jnp.maximum(n_live - cap, 0)
+    return out_mean, out_cov, out_w, sel_act, n_dropped

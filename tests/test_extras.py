@@ -94,3 +94,30 @@ def test_variance_estimator_in_step():
     v = np.asarray(state.variance)
     assert np.isfinite(v).all()
     assert (v != 0).any()
+
+
+def test_shotgun_prediction_contracts():
+    """n_predict_particles > 1: expanded prediction, contracted state."""
+    from phdslam_tpu.filters.phd import make_step_fn
+    from phdslam_tpu.types import init_state
+
+    cfg = SlamConfig(
+        n_particles=8, n_predict_particles=3, max_features=16,
+        max_measurements=4, motion_type=0, feature_model=0, filter_type=0,
+        particle_weighting=1, max_range=20.0, std_range=0.25,
+        std_bearing=0.02, clutter_rate=2.0, pd=0.95, birth_weight=0.05,
+        min_separation=2.0, resample_threshold=0.3, ax=0.2, ay=0.2,
+        ayaw=0.02, seed=1)
+    step = make_step_fn(cfg, donate=False)
+    state = init_state(cfg)
+    z = jnp.asarray([[5.0, 0.3], [7.0, -0.4], [0, 0], [0, 0]], jnp.float32)
+    mask = jnp.asarray([True, True, False, False])
+    for n in range(4):
+        state, out = step(state, z, mask, jnp.zeros((2,), jnp.float32),
+                          jnp.float32(0.1), jnp.asarray(n > 0))
+    # state stays at the base particle count
+    assert state.pose.shape[0] == 8
+    assert out.poses.shape[0] == 8
+    assert np.isfinite(np.asarray(state.log_weight)).all()
+    np.testing.assert_allclose(np.asarray(state.log_weight), -np.log(8),
+                               rtol=1e-5)
