@@ -266,6 +266,34 @@ class SynthSLAMRunner:
             out["map_covs"] = cat(base + 3)
         return out
 
+    def run_sharded(self, mesh=None, collect_maps: bool = False):
+        """Run the full sequence with the particle axis sharded over a device
+        mesh (SURVEY.md §2.4-P1): one on-device lax.scan whose cross-particle
+        reductions become ICI collectives. ``mesh`` defaults to all devices."""
+        from .parallel import (init_sharded_state, make_mesh,
+                               make_sharded_scan_fn, shard_state)
+        cfg = self.cfg
+        if mesh is None:
+            mesh = make_mesh()
+        run_all = make_sharded_scan_fn(cfg, mesh)
+        state = shard_state(mesh, self.state)
+        sched = self.schedule_arrays()
+        t0 = time.perf_counter()
+        state, ys = run_all(state, self.z_dev, self.mask_dev,
+                            self.controls_dev, *sched)
+        jax.block_until_ready(ys)
+        wall = time.perf_counter() - t0
+        self.state = state
+        return {
+            "est_poses": np.asarray(ys[0]),
+            "n_eff": np.asarray(ys[1]),
+            "resampled": np.asarray(ys[2]),
+            "overflow": int(np.asarray(ys[3]).max()),
+            "wall_s": wall,
+            "steps_per_s": len(self.schedule) / wall,
+            "n_devices": mesh.devices.size,
+        }
+
     def write_logs(self, out_dir: str, res: dict, log_every: int = 1):
         """Write state_estimate logs + loopTime.log from a run_chunked result
         collected with ``collect_maps=True, collect_particles=True``

@@ -103,3 +103,29 @@ def test_divisibility_check(mesh):
     cfg = small_cfg(n_particles=10)
     with pytest.raises(ValueError):
         init_sharded_state(cfg, mesh)
+
+
+def test_run_sharded_matches_scanned(mesh, tmp_path):
+    """Full-sequence sharded scan vs single-device scan on a real dataset."""
+    from phdslam_tpu.eval.batch import generate_batch_datasets
+    from phdslam_tpu.slam import SynthSLAMRunner
+
+    root = str(tmp_path)
+    generate_batch_datasets(root, n_runs=1, n_landmarks=12, n_steps=20,
+                            seed=5)
+    cfg = small_cfg(n_particles=16, max_features=24, max_measurements=32,
+                    motion_type=1)
+    cfg.l, cfg.h, cfg.a, cfg.b = 2.83, 0.76, 3.78, 0.5
+    cfg.std_encoder, cfg.std_alpha = 2.0, 0.0873
+    cfg.max_range, cfg.std_range, cfg.std_bearing = 10.0, 1.0, 0.0349
+    cfg.clutter_rate = 20.0
+
+    r1 = SynthSLAMRunner(cfg, f"{root}/run000")
+    res1 = r1.run_scanned(collect_maps=False)
+    r2 = SynthSLAMRunner(cfg, f"{root}/run000")
+    res2 = r2.run_sharded(mesh)
+    assert res2["n_devices"] == 8
+    np.testing.assert_allclose(res2["est_poses"], res1["est_poses"],
+                               rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(res2["n_eff"], res1["n_eff"],
+                               rtol=1e-3, atol=1e-4)
