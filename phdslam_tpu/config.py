@@ -141,6 +141,10 @@ class SlamConfig:
     # MC map-variance estimator (phdVarianceKernel): the reference runs it
     # unconditionally on the static path; here it is opt-in (diagnostic only)
     compute_variance: bool = False
+    # Pallas merge kernel: 0 = off (XLA while_loop), 1 = auto (use the
+    # Mosaic kernel on TPU backends for 2D/Mahalanobis merges), 2 = force
+    # interpret mode (CPU testing)
+    pallas_merge: int = 1
     # Merge-candidate compaction: the update produces K*(M+1)+M candidates
     # (phdfilter.cu:3078) but only a few hundred carry weight above
     # min_feature_weight. top-k-compact to this many lanes before the greedy
@@ -256,6 +260,7 @@ _OPTION_MAP = {
     "seed": "seed",
     "compute_variance": "compute_variance",
     "merge_candidate_cap": "merge_candidate_cap",
+    "pallas_merge": "pallas_merge",
 }
 
 _LINE_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*?)\s*$")

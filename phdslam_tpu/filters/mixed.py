@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..config import SlamConfig
 from ..models import measurement
 from ..ops import ekf
-from ..ops.gm_merge import compact_candidates, gm_merge
+from ..ops.gm_merge import compact_candidates, merge_dispatch
 from ..ops.math import LOG0, logsumexp, safe_log
 from ..types import FilterState, GMState
 
@@ -72,9 +72,8 @@ def _merge_map(mean, cov, weight, mean_det, cov_upd, w_det, det_valid,
 
     cand_mean, cand_cov, cand_w, cand_act, n_compact = compact_candidates(
         cand_mean, cand_cov, cand_w, cand_act, cfg.merge_candidate_cap)
-    mg_mean, mg_cov, mg_w, _, n_dropped = gm_merge(
-        cand_mean, cand_cov, cand_w, cand_act,
-        cfg.min_separation, K, cfg.distance_metric)
+    mg_mean, mg_cov, mg_w, _, n_dropped = merge_dispatch(
+        cand_mean, cand_cov, cand_w, cand_act, cfg, K)
     n_dropped = n_dropped + n_compact
 
     all_mean = jnp.concatenate([mg_mean, mean], axis=0)

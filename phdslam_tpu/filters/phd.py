@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..config import SlamConfig
 from ..models import feature_motion, measurement, vehicle
 from ..ops import ekf
-from ..ops.gm_merge import compact_candidates, gm_merge
+from ..ops.gm_merge import compact_candidates, merge_dispatch
 from ..ops.math import LOG0, logsumexp, safe_log
 from ..ops.resample import effective_sample_ratio, systematic_ancestors
 from ..types import FilterState, GMState
@@ -191,9 +191,8 @@ def _update_single(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
 
     cand_mean, cand_cov, cand_w, cand_act, n_compact = compact_candidates(
         cand_mean, cand_cov, cand_w, cand_act, cfg.merge_candidate_cap)
-    mg_mean, mg_cov, mg_w, n_merged, n_dropped = gm_merge(
-        cand_mean, cand_cov, cand_w, cand_act,
-        cfg.min_separation, K, cfg.distance_metric)
+    mg_mean, mg_cov, mg_w, n_merged, n_dropped = merge_dispatch(
+        cand_mean, cand_cov, cand_w, cand_act, cfg, K)
     n_dropped = n_dropped + n_compact
 
     # recombine with untouched out-of-range features (phdfilter.cu:3311-3318)

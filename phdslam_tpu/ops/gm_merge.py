@@ -114,6 +114,24 @@ def gm_merge_batch(mean, cov, weight, active, min_separation, out_cap,
     return jax.vmap(fn)(mean, cov, weight, active)
 
 
+def merge_dispatch(mean, cov, weight, active, cfg, out_cap):
+    """Route a single-particle merge to the Pallas kernel when eligible
+    (2D features, Mahalanobis metric, TPU backend — cfg.pallas_merge),
+    otherwise to the XLA while_loop implementation."""
+    D = mean.shape[-1]
+    if cfg.pallas_merge and D == 2 and cfg.distance_metric == 0:
+        from .pallas_merge import gm_merge_pallas_one, pallas_available
+        if cfg.pallas_merge == 2:
+            return gm_merge_pallas_one(mean, cov, weight, active,
+                                       float(cfg.min_separation), out_cap,
+                                       interpret=True)
+        if pallas_available():
+            return gm_merge_pallas_one(mean, cov, weight, active,
+                                       float(cfg.min_separation), out_cap)
+    return gm_merge(mean, cov, weight, active, cfg.min_separation, out_cap,
+                    cfg.distance_metric)
+
+
 def compact_candidates(mean, cov, weight, active, cap):
     """Top-``cap``-by-weight compaction of a candidate set (single particle).
 

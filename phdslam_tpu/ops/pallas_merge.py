@@ -1,0 +1,168 @@
+"""Pallas TPU kernel for the greedy Gaussian-mixture merge (2D features).
+
+The bounded ``lax.while_loop`` merge (ops/gm_merge.py, the rebuild of
+``phdUpdateMergeKernel``, /root/reference/src/phdfilter.cu:2707-2898)
+dominates the filter step on TPU: the vmapped HLO while pays per-iteration
+dispatch/gather overhead (~26 ms/step at P=200, N=512, K=128 — see BENCH
+notes). This kernel runs the same algorithm per particle on-core: the
+candidate SoA lives in VMEM, each greedy iteration is a handful of
+N-lane VPU ops, and cluster emission is a masked K-lane select.
+
+Layout (SoA planes, f32):
+  input  [P, 7, N]: w, act, mean_x, mean_y, cov00, cov01, cov11
+  output [P, 8, K]: w, mean_x, mean_y, cov00, cov01, cov11, n_unmerged
+                    (plane 6 broadcasts the leftover-candidate count), pad
+
+Only the Mahalanobis metric (distance_metric == 0) and D == 2 are handled;
+callers fall back to the XLA path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation):
+    x = in_ref[0]                      # [7, N]
+    w = x[0:1, :]                      # [1, N]
+    act = x[1:2, :]
+    mx = x[2:3, :]
+    my = x[3:4, :]
+    c00 = x[4:5, :]
+    c01 = x[5:6, :]
+    c11 = x[6:7, :]
+
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n_cand), 1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, out_cap), 1)
+
+    def body(c, carry):
+        unmerged, ow, omx, omy, o00, o01, o11 = carry
+        w_act = jnp.where(unmerged > 0.5, w, -1.0)
+        imax = jnp.argmax(w_act)
+        has = jnp.max(w_act) > 0.0
+
+        oh = (iota_n == imax).astype(jnp.float32)
+        # principal's moments via one-hot reductions (no dynamic gather)
+        pmx = jnp.sum(oh * mx)
+        pmy = jnp.sum(oh * my)
+        p00 = jnp.sum(oh * c00)
+        p01 = jnp.sum(oh * c01)
+        p11 = jnp.sum(oh * c11)
+
+        # Mahalanobis^2 with averaged covariance (computeMahalDist,
+        # device_math.cuh:308-363)
+        s00 = 0.5 * (c00 + p00)
+        s01 = 0.5 * (c01 + p01)
+        s11 = 0.5 * (c11 + p11)
+        det = jnp.maximum(s00 * s11 - s01 * s01, 1e-30)
+        dx = pmx - mx
+        dy = pmy - my
+        dist = (dx * dx * s11 - 2.0 * dx * dy * s01 + dy * dy * s00) / det
+
+        sel = ((unmerged > 0.5) & (dist < min_separation)) | (iota_n == imax)
+        sel = sel & (unmerged > 0.5) & has
+        self_f = sel.astype(jnp.float32)
+
+        sw = self_f * w
+        W = jnp.sum(sw)
+        W_safe = jnp.maximum(W, 1e-30)
+        mu_x = jnp.sum(sw * mx) / W_safe
+        mu_y = jnp.sum(sw * my) / W_safe
+        ddx = mu_x - mx
+        ddy = mu_y - my
+        m00 = jnp.sum(sw * (c00 + ddx * ddx)) / W_safe
+        m01 = jnp.sum(sw * (c01 + ddx * ddy)) / W_safe
+        m11 = jnp.sum(sw * (c11 + ddy * ddy)) / W_safe
+
+        emit = (iota_k == c) & has
+        ow = jnp.where(emit, W, ow)
+        omx = jnp.where(emit, mu_x, omx)
+        omy = jnp.where(emit, mu_y, omy)
+        o00 = jnp.where(emit, m00, o00)
+        o01 = jnp.where(emit, m01, o01)
+        o11 = jnp.where(emit, m11, o11)
+
+        unmerged = unmerged * (1.0 - self_f)
+        return (unmerged, ow, omx, omy, o00, o01, o11)
+
+    unmerged0 = act
+    zk = jnp.zeros((1, out_cap), jnp.float32)
+    carry = (unmerged0, zk, zk, zk, zk, zk, zk)
+    unmerged, ow, omx, omy, o00, o01, o11 = jax.lax.fori_loop(
+        0, out_cap, body, carry)
+
+    n_left = jnp.sum(unmerged)
+    out_ref[0, 0:1, :] = ow
+    out_ref[0, 1:2, :] = omx
+    out_ref[0, 2:3, :] = omy
+    out_ref[0, 3:4, :] = o00
+    out_ref[0, 4:5, :] = o01
+    out_ref[0, 5:6, :] = o11
+    out_ref[0, 6:7, :] = jnp.full((1, out_cap), n_left, jnp.float32)
+    out_ref[0, 7:8, :] = zk
+
+
+def pallas_available() -> bool:
+    """True when the default backend can compile Mosaic TPU kernels."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def gm_merge_pallas_one(mean, cov, weight, active, min_separation, out_cap,
+                        interpret=False):
+    """Single-particle variant (mean [N, 2], ...) — vmap-able drop-in for
+    ops.gm_merge.gm_merge. Returns (mean[K,2], cov[K,2,2], w[K], n_merged,
+    n_dropped)."""
+    om, oc, ow, nm, nd = gm_merge_pallas_batch(
+        mean[None], cov[None], weight[None], active[None],
+        min_separation, out_cap, interpret)
+    return om[0], oc[0], ow[0], nm[0], nd[0]
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
+                                             "interpret"))
+def gm_merge_pallas_batch(mean, cov, weight, active, min_separation,
+                          out_cap, interpret=False):
+    """Drop-in replacement for gm_merge_batch (D == 2, Mahalanobis).
+
+    mean [P, N, 2], cov [P, N, 2, 2], weight [P, N], active [P, N] ->
+    (out_mean [P, K, 2], out_cov [P, K, 2, 2], out_w [P, K],
+     n_merged [P], n_dropped [P])
+    """
+    P, N, D = mean.shape
+    assert D == 2
+    packed = jnp.stack([
+        weight, active.astype(jnp.float32),
+        mean[..., 0], mean[..., 1],
+        cov[..., 0, 0], cov[..., 0, 1], cov[..., 1, 1]], axis=1)  # [P, 7, N]
+
+    out = pl.pallas_call(
+        functools.partial(_merge_kernel, n_cand=N, out_cap=out_cap,
+                          min_separation=float(min_separation)),
+        out_shape=jax.ShapeDtypeStruct((P, 8, out_cap), jnp.float32),
+        grid=(P,),
+        in_specs=[pl.BlockSpec((1, 7, N), lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, out_cap), lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(packed)
+
+    out_w = out[:, 0, :]
+    out_mean = jnp.stack([out[:, 1, :], out[:, 2, :]], axis=-1)
+    o00, o01, o11 = out[:, 3, :], out[:, 4, :], out[:, 5, :]
+    out_cov = jnp.stack([
+        jnp.stack([o00, o01], axis=-1),
+        jnp.stack([o01, o11], axis=-1)], axis=-2)
+    # empty slots: identity covariance (matches gm_merge)
+    empty = out_w <= 0
+    eye = jnp.eye(2, dtype=out_cov.dtype)
+    out_cov = jnp.where(empty[..., None, None], eye, out_cov)
+    out_mean = jnp.where(empty[..., None], 0.0, out_mean)
+    n_merged = jnp.sum((out_w > 0).astype(jnp.int32), axis=-1)
+    n_dropped = out[:, 6, 0].astype(jnp.int32)
+    return out_mean, out_cov, out_w, n_merged, n_dropped

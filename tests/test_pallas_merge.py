@@ -1,0 +1,98 @@
+"""Pallas greedy-merge kernel vs the XLA while_loop reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phdslam_tpu.ops.gm_merge import gm_merge_batch
+from phdslam_tpu.ops.pallas_merge import gm_merge_pallas_batch
+
+INTERPRET = jax.default_backend() == "cpu"
+
+
+def random_case(P, N, K, seed, cluster=True):
+    rng = np.random.default_rng(seed)
+    if cluster:
+        # clustered candidates so merging actually happens
+        centers = rng.normal(0, 20, (P, 8, 2))
+        idx = rng.integers(0, 8, (P, N))
+        mean = centers[np.arange(P)[:, None], idx] + rng.normal(0, 0.3,
+                                                                (P, N, 2))
+    else:
+        mean = rng.normal(0, 20, (P, N, 2))
+    A = rng.normal(0, 0.5, (P, N, 2, 2))
+    cov = np.einsum("pnij,pnkj->pnik", A, A)  # A A^T: symmetric PSD
+    cov += np.eye(2) * 0.3
+    w = rng.uniform(0, 1, (P, N)).astype(np.float32)
+    act = rng.random((P, N)) < 0.7
+    return (jnp.asarray(mean, jnp.float32), jnp.asarray(cov, jnp.float32),
+            jnp.asarray(w), jnp.asarray(act))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("cluster", [True, False])
+def test_pallas_merge_matches_xla(seed, cluster):
+    P, N, K = 4, 64, 16
+    mean, cov, w, act = random_case(P, N, K, seed, cluster)
+    ref = gm_merge_batch(mean, cov, w, act, 4.0, K, 0)
+    got = gm_merge_pallas_batch(mean, cov, w, act, 4.0, K,
+                                interpret=INTERPRET)
+    # same clusters in the same (greedy weight) order
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
+                               rtol=1e-4, atol=1e-6)  # weights
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-4, atol=1e-4)  # means
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=1e-3, atol=1e-4)  # covs
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+    np.testing.assert_array_equal(np.asarray(got[4]), np.asarray(ref[4]))
+
+
+def test_pallas_merge_overflow_counts():
+    # more clusters than capacity -> dropped leftovers reported
+    P, N, K = 2, 64, 4
+    rng = np.random.default_rng(3)
+    mean = jnp.asarray(rng.normal(0, 100, (P, N, 2)), jnp.float32)  # spread
+    cov = jnp.broadcast_to(jnp.eye(2) * 0.1, (P, N, 2, 2)).astype(jnp.float32)
+    w = jnp.asarray(rng.uniform(0.1, 1, (P, N)), jnp.float32)
+    act = jnp.ones((P, N), bool)
+    ref = gm_merge_batch(mean, cov, w, act, 4.0, K, 0)
+    got = gm_merge_pallas_batch(mean, cov, w, act, 4.0, K,
+                                interpret=INTERPRET)
+    assert int(got[4][0]) == int(ref[4][0]) > 0
+
+
+def test_filter_step_with_pallas_merge_matches():
+    """Full filter step: pallas merge (interpret) vs XLA merge."""
+    from phdslam_tpu.config import SlamConfig
+    from phdslam_tpu.filters.phd import make_step_fn
+    from phdslam_tpu.types import init_state
+
+    base = dict(n_particles=8, max_features=16, max_measurements=4,
+                motion_type=0, feature_model=0, filter_type=0,
+                particle_weighting=1, max_range=20.0, std_range=0.25,
+                std_bearing=0.02, clutter_rate=2.0, pd=0.95,
+                birth_weight=0.05, min_separation=2.0,
+                resample_threshold=0.3, seed=1)
+    z = jnp.asarray([[5.0, 0.3], [7.0, -0.4], [0, 0], [0, 0]], jnp.float32)
+    mask = jnp.asarray([True, True, False, False])
+
+    results = []
+    for pm in (0, 2):
+        from phdslam_tpu.config import SlamConfig
+        cfg = SlamConfig(**base, pallas_merge=pm)
+        step = make_step_fn(cfg, donate=False)
+        state = init_state(cfg)
+        for n in range(5):
+            state, out = step(state, z, mask, jnp.zeros((2,), jnp.float32),
+                              jnp.float32(0.1), jnp.asarray(n > 0))
+        results.append((np.asarray(state.map_static.weight),
+                        np.asarray(state.log_weight),
+                        np.asarray(out.expected_pose)))
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(results[0][2], results[1][2], rtol=1e-4,
+                               atol=1e-5)
