@@ -137,3 +137,65 @@ def write_run_dir(outdir, controls, measurements):
                  "measurement.\n")
         for Z in measurements:
             fh.write(" ".join("%g %g" % (z[0], z[1]) for z in Z) + " \n")
+
+
+# ----------------------------------------------------------------------------
+# Monocular (disparity) simulation — image measurements of 3D landmarks
+# observed by a camera on a 6-DOF CV trajectory (the input format of
+# run_disparity, main.cpp:1324-1344).
+# ----------------------------------------------------------------------------
+
+def camera_rotation_np(roll, pitch, yaw):
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    return np.array([
+        [cp * cy, cr * sy + sr * sp * cy, sr * sy - cr * sp * cy],
+        [-cp * sy, cr * cy - sr * sp * sy, sr * cy + cr * sp * sy],
+        [sp, -sr * cp, cr * cp]])
+
+
+def generate_disparity_world(n_landmarks=30, n_steps=60, dt=0.5, seed=0,
+                             fx=500.0, fy=500.0, u0=320.0, v0=240.0,
+                             width=640, height=480, std_uv=1.0, pd=0.95,
+                             clutter_rate=2.0, vx=0.1):
+    """Camera translating along +x viewing landmarks at negative z.
+
+    Returns (landmarks [L, 3], cam_traj [T, 12], measurement sets).
+    """
+    rng = np.random.default_rng(seed)
+    landmarks = np.column_stack([
+        rng.uniform(-2, 4, n_landmarks),
+        rng.uniform(-1.5, 1.5, n_landmarks),
+        rng.uniform(-8, -3, n_landmarks)])
+    traj = np.zeros((n_steps, 12))
+    traj[:, 6] = vx
+    for t in range(1, n_steps):
+        traj[t, :3] = traj[t - 1, :3] + dt * traj[t - 1, 6:9]
+    measurements = []
+    for t in range(n_steps):
+        R = camera_rotation_np(*traj[t, 3:6])
+        pc = (landmarks - traj[t, :3]) @ R          # R^T (p - t)
+        zc = pc[:, 2]
+        vis = zc < -0.5
+        u = u0 - fx * pc[:, 0] / zc
+        v = v0 - fy * pc[:, 1] / zc
+        uv = np.column_stack([u, v])[vis]
+        uv = uv + rng.normal(0, std_uv, uv.shape)
+        inside = ((uv[:, 0] > 0) & (uv[:, 0] < width)
+                  & (uv[:, 1] > 0) & (uv[:, 1] < height))
+        uv = uv[inside & (rng.random(len(uv)) < pd)]
+        n_cl = rng.poisson(clutter_rate)
+        clutter = np.column_stack([rng.uniform(0, width, n_cl),
+                                   rng.uniform(0, height, n_cl)])
+        measurements.append(np.vstack([uv, clutter]).astype(np.float32))
+    return landmarks, traj, measurements
+
+
+def write_disparity_run_dir(outdir, measurements):
+    """measurements.txt in the imageMeasurementSet format (u v pairs)."""
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, "measurements.txt"), "w") as fh:
+        fh.write("% image measurements, one time step per line, u v pairs\n")
+        for Z in measurements:
+            fh.write(" ".join("%g %g" % (u, v) for u, v in Z) + " \n")

@@ -94,3 +94,31 @@ def test_cli_synth(batch_root, tmp_path, capsys):
     assert len(logs) == 12
     assert os.path.exists(os.path.join(out_dir, "loopTime.log"))
     assert os.path.exists(os.path.join(out_dir, "config.cfg"))
+
+
+def test_cli_disparity(tmp_path):
+    from phdslam_tpu.__main__ import main
+    from phdslam_tpu.eval.simdata import (generate_disparity_world,
+                                          write_disparity_run_dir)
+
+    lm, traj, meas = generate_disparity_world(n_landmarks=10, n_steps=12,
+                                              seed=2)
+    ddir = str(tmp_path / "disp")
+    write_disparity_run_dir(ddir, meas)
+    cfg_path = str(tmp_path / "d.cfg")
+    with open(cfg_path, "w") as fh:
+        fh.write("n_particles = 8\nmax_features = 12\nmax_measurements = 16\n"
+                 "particles_per_feature = 16\nfx = 500\nfy = 500\n"
+                 "u0 = 320\nv0 = 240\nimage_width = 640\nimage_height = 480\n"
+                 "std_u = 1\nstd_v = 1\ndisparity_birth = 150\n"
+                 "std_d_birth = 100\nclutter_rate = 2\npd = 0.95\n"
+                 "birth_weight = 0.05\nmin_separation = 20\n"
+                 "particle_weighting = 0\ndt = 0.5\ninitial_vx = 0.1\n"
+                 f"data_directory = {ddir}\n")
+    out_dir = str(tmp_path / "out")
+    rc = main([cfg_path, "disparity", "--out-dir", out_dir])
+    assert rc == 0
+    import numpy as np
+    est = np.loadtxt(out_dir + "/trajectory.txt")
+    assert est.shape[0] == 12
+    assert np.isfinite(est).all()
