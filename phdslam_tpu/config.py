@@ -301,6 +301,10 @@ def load_config(path: str, overrides: Optional[dict] = None) -> SlamConfig:
                 ftype = {"bool": bool, "int": int, "float": float, "str": str}[ftype]
             setattr(cfg, name, _coerce(ftype, raw))
     if overrides:
+        valid = {f.name for f in dataclasses.fields(SlamConfig)}
         for k, v in overrides.items():
-            setattr(cfg, k, v)
+            name = k if k in valid else _OPTION_MAP.get(k)
+            if name is None or name not in valid:
+                raise KeyError(f"unknown config override: {k!r}")
+            setattr(cfg, name, v)
     return cfg
