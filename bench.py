@@ -21,7 +21,16 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache: remote-compiles over the axon tunnel take
+    # minutes; the cache makes warm runs start in seconds
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from phdslam_tpu.config import load_config
     from phdslam_tpu.slam import SynthSLAMRunner

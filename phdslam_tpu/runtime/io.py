@@ -132,6 +132,31 @@ def write_state_log(outdir: str, t: int, expected_pose, static_map,
     weight>0 marking live features, or None.
     """
     path = os.path.join(outdir, "state_estimate%05d.log" % t)
+    if _native_textio is not None:
+        lines = [np.asarray(expected_pose, np.float64)]
+        for gm, D in ((static_map, 2), (dynamic_map, 4)):
+            if gm is None:
+                lines.append(None)
+                continue
+            w, m, c = (np.asarray(x) for x in gm)
+            live = w > 0
+            if live.any():
+                row = np.concatenate(
+                    [w[live, None], m[live, :D],
+                     c[live, :D, :D].reshape(live.sum(), -1)], axis=1)
+                lines.append(row.reshape(-1).astype(np.float64))
+            else:
+                lines.append(None)
+        lines.append(np.asarray(particle_log_weights, np.float64))
+        lines.append(np.asarray(particle_poses, np.float64).reshape(-1))
+        lines.append(np.asarray(resample_idx, np.float64))
+        if filter_type == 1 and cardinality is not None:
+            lines.append(np.asarray(cardinality,
+                                    np.float64)[: max_cardinality + 1])
+        else:
+            lines.append(np.zeros(max_cardinality + 1))
+        _native_textio.write_state_lines(path, lines)
+        return
     with open(path, "a") as fh:
         fh.write(" ".join("%g" % v for v in np.asarray(expected_pose))
                  + " \n")
