@@ -42,12 +42,24 @@ def load_image_measurements(path: str) -> List[np.ndarray]:
 
 def run_disparity(cfg: SlamConfig, data_dir: Optional[str] = None,
                   out_dir: Optional[str] = None, verbose: bool = False):
-    """Run the SC-PHD filter over an image-measurement dataset."""
+    """Run the SC-PHD filter over an image-measurement dataset.
+
+    With ``cfg.follow_trajectory`` the camera poses are taken from
+    ``traj.txt`` instead of being filtered — single-particle mapping-only
+    mode (main.cpp:1335-1339, 1383-1387).
+    """
     data_dir = data_dir or cfg.data_directory
     measurements = load_image_measurements(
         os.path.join(data_dir, "measurements.txt"))
     n_steps = cfg.n_steps if cfg.n_steps > 0 else len(measurements)
     measurements = measurements[:n_steps]
+
+    traj = None
+    if cfg.follow_trajectory:
+        traj = np.loadtxt(os.path.join(data_dir, "traj.txt"))
+        if traj.shape[1] < 12:
+            traj = np.pad(traj, ((0, 0), (0, 12 - traj.shape[1])))
+        cfg.n_particles = 1  # main.cpp:1338
 
     m_max = min(max(8, max((len(z) for z in measurements), default=1)),
                 cfg.max_measurements)
@@ -63,8 +75,13 @@ def run_disparity(cfg: SlamConfig, data_dir: Optional[str] = None,
     t0 = time.perf_counter()
     outs = []
     for n in range(len(measurements)):
+        if traj is not None:
+            # pose comes from the trajectory; skip prediction (main.cpp:1384)
+            state = state.replace(cam_pose=jnp.asarray(
+                traj[min(n, len(traj) - 1)], jnp.float32)[None, :])
         state, out = step(state, z_dev[n], mask_dev[n],
-                          jnp.float32(cfg.dt), jnp.asarray(n > 0))
+                          jnp.float32(cfg.dt),
+                          jnp.asarray(n > 0 and traj is None))
         outs.append(out)
         if verbose and n % 20 == 0:
             print(f"step {n}/{len(measurements)} "

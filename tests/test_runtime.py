@@ -122,3 +122,33 @@ def test_cli_disparity(tmp_path):
     est = np.loadtxt(out_dir + "/trajectory.txt")
     assert est.shape[0] == 12
     assert np.isfinite(est).all()
+
+
+def test_disparity_follow_trajectory(tmp_path):
+    """follow_trajectory: single-particle mapping with known camera poses."""
+    import numpy as np
+
+    from phdslam_tpu.config import SlamConfig
+    from phdslam_tpu.eval.simdata import (generate_disparity_world,
+                                          write_disparity_run_dir)
+    from phdslam_tpu.slam_disparity import run_disparity
+
+    lm, traj, meas = generate_disparity_world(n_landmarks=8, n_steps=15,
+                                              seed=3, clutter_rate=0.5)
+    ddir = str(tmp_path / "disp")
+    write_disparity_run_dir(ddir, meas)
+    np.savetxt(ddir + "/traj.txt", traj)
+    cfg = SlamConfig(
+        follow_trajectory=True, n_particles=4, max_features=12,
+        max_measurements=16, particles_per_feature=16, fx=500.0, fy=500.0,
+        u0=320.0, v0=240.0, image_width=640, image_height=480,
+        std_u=1.0, std_v=1.0, disparity_birth=150.0, std_d_birth=100.0,
+        clutter_rate=0.5, pd=0.95, birth_weight=0.05, min_separation=20.0,
+        particle_weighting=0, dt=0.5, seed=4)
+    res = run_disparity(cfg, ddir)
+    assert cfg.n_particles == 1
+    # known poses: the estimated camera trajectory equals the input
+    np.testing.assert_allclose(res["est_poses"][-1][:3], traj[-1][:3],
+                               atol=1e-5)
+    w = np.asarray(res["final_state"].feat_weight[0])
+    assert (w > 0.3).sum() >= 4  # mapped a good chunk of the landmarks
