@@ -136,3 +136,61 @@ if __name__ == "__main__":
                                 n_steps=args.steps)
     res = run_batch(cfg, args.data_root, n_runs=args.runs, verbose=True)
     print(res.summary())
+
+
+# ----------------------------------------------------------------------------
+# Log-file analysis — drop-in equivalent of batch_analyze.py (parses the
+# state_estimateXXXXX.log text format instead of in-memory results).
+# ----------------------------------------------------------------------------
+
+def parse_state_log(path: str) -> dict:
+    """Parse one state_estimateXXXXX.log (6/7-line format, main.cpp:848-954).
+
+    Returns dict with est_pose, static map (w, mean) arrays, particle log
+    weights and nEff. Map extraction follows batch_analyze.py:21-28: the
+    top-round(sum w) features by weight.
+    """
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    pose = np.fromstring(lines[0], sep=" ")
+    static = np.fromstring(lines[1], sep=" ") if len(lines) > 1 else np.empty(0)
+    w = static[0::7]
+    mx = static[1::7]
+    my = static[2::7]
+    means = np.column_stack([mx, my]) if w.size else np.zeros((0, 2))
+    log_w = np.fromstring(lines[3], sep=" ") if len(lines) > 3 else np.empty(0)
+    n_eff = (1.0 / np.sum(np.exp(log_w) ** 2) / max(1, len(log_w))
+             if log_w.size else float("nan"))
+    # top-round(sum(w)) extraction (batch_analyze.py:25-28)
+    if w.size:
+        n_est = int(round(w.sum()))
+        order = np.argsort(w)[::-1]
+        est_map = means[order[:n_est]]
+    else:
+        est_map = means
+    return {"est_pose": pose[:3], "map_weights": w, "map_means": means,
+            "est_map": est_map, "log_weights": log_w, "n_eff": n_eff}
+
+
+def analyze_log_dir(log_dir: str, true_traj, landmarks,
+                    ospa_every: int = 10) -> dict:
+    """Score a directory of state logs against ground truth
+    (compute_error, batch_analyze.py:44-97)."""
+    files = sorted(f for f in os.listdir(log_dir)
+                   if f.startswith("state_estimate"))
+    pose_err, ospas, n_effs = [], [], []
+    for i, f in enumerate(files):
+        rec = parse_state_log(os.path.join(log_dir, f))
+        k = int(f[len("state_estimate"):-len(".log")])
+        if k < len(true_traj):
+            pose_err.append(float(np.linalg.norm(
+                rec["est_pose"][:2] - true_traj[k, :2])))
+        if i % ospa_every == 0:
+            o, loc, cn = ospa_distance(landmarks, rec["est_map"], p=1, c=5)
+            ospas.append(o)
+        n_effs.append(rec["n_eff"])
+    return {"pose_err": np.asarray(pose_err), "ospa": np.asarray(ospas),
+            "n_eff": np.asarray(n_effs),
+            "mean_pose_err": float(np.mean(pose_err)) if pose_err else
+            float("nan"),
+            "mean_ospa": float(np.mean(ospas)) if ospas else float("nan")}

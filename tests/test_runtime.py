@@ -152,3 +152,32 @@ def test_disparity_follow_trajectory(tmp_path):
                                atol=1e-5)
     w = np.asarray(res["final_state"].feat_weight[0])
     assert (w > 0.3).sum() >= 4  # mapped a good chunk of the landmarks
+
+
+def test_log_roundtrip_analysis(batch_root, tmp_path):
+    """Write state logs via the runner, re-parse them with the
+    batch_analyze-equivalent, and check the scores match the in-memory path."""
+    import numpy as np
+
+    from phdslam_tpu.eval.batch import analyze_log_dir, parse_state_log
+    from phdslam_tpu.slam import SynthSLAMRunner
+
+    cfg = small_cfg(n_particles=16, max_features=32, max_measurements=32,
+                    clutter_rate=20.0)
+    out_dir = str(tmp_path / "logs")
+    runner = SynthSLAMRunner(cfg, batch_root + "/run000")
+    res = runner.run_chunked(chunk=16, collect_maps=True,
+                             collect_particles=True)
+    runner.write_logs(out_dir, res)
+    gt = np.load(batch_root + "/groundtruth.npz")
+    scores = analyze_log_dir(out_dir, gt["traj"], gt["landmarks"],
+                             ospa_every=5)
+    assert np.isfinite(scores["mean_pose_err"])
+    assert np.isfinite(scores["mean_ospa"])
+    # parsed pose matches the in-memory estimate
+    rec = parse_state_log(out_dir + "/state_estimate00005.log")
+    np.testing.assert_allclose(rec["est_pose"], res["est_poses"][5][:3],
+                               rtol=1e-4, atol=1e-4)
+    # parsed particle weights normalize
+    np.testing.assert_allclose(np.exp(rec["log_weights"]).sum(), 1.0,
+                               rtol=1e-3)
