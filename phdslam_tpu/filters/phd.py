@@ -274,10 +274,17 @@ def extract(state: FilterState, cfg: SlamConfig):
     """Expected pose + MAP map (recoverSlamState, main.cpp:318-451)."""
     w = jnp.exp(state.log_weight)
     expected_pose = jnp.einsum("p,pd->d", w, state.pose)
-    max_idx = jnp.argmax(state.log_weight)
     # mixed model (2) reports the static map here; the dynamic map is
     # available from the state for the log writer
     gm = state.map_dynamic if cfg.feature_model == 1 else state.map_static
+    if cfg.map_estimate & 2 and not (cfg.map_estimate & 1):
+        # EAP expected map (mapEstimate bit 1, main.cpp:363-379): merge the
+        # particle-weight-scaled concatenation of all maps
+        from .extras import eap_expected_map
+        mean, cov, weight = eap_expected_map(gm, state.log_weight, cfg)
+        return expected_pose, (mean, cov, weight)
+    # MAP map = argmax-weight particle's map (mapEstimate bit 0, :344-361)
+    max_idx = jnp.argmax(state.log_weight)
     return expected_pose, (gm.mean[max_idx], gm.cov[max_idx],
                            gm.weight[max_idx])
 

@@ -186,3 +186,32 @@ def write_state_log(outdir: str, t: int, expected_pose, static_map,
                               [: max_cardinality + 1]) + " \n")
         else:
             fh.write(" ".join(["0"] * (max_cardinality + 1)) + " \n")
+
+
+def write_particles_mat(path: str, state, cfg, map_estimate=None,
+                        variances=None):
+    """Full particle dump as a .mat file (writeParticlesMat,
+    main.cpp:594-713): particle poses, weights, per-particle maps, variance
+    estimates and the extracted map estimate."""
+    import scipy.io as sio
+    data = {
+        "weights": np.asarray(state.log_weight),
+        "particles": np.asarray(state.pose),
+        "resample_idx": np.asarray(state.resample_idx),
+        "maps_mean": np.asarray(state.map_static.mean),
+        "maps_cov": np.asarray(state.map_static.cov),
+        "maps_weight": np.asarray(state.map_static.weight),
+        "maps_dynamic_mean": np.asarray(state.map_dynamic.mean),
+        "maps_dynamic_cov": np.asarray(state.map_dynamic.cov),
+        "maps_dynamic_weight": np.asarray(state.map_dynamic.weight),
+        "vars": np.asarray(variances if variances is not None
+                           else state.variance),
+    }
+    if state.cardinality is not None:
+        data["cardinalities"] = np.asarray(state.cardinality)
+    if map_estimate is not None:
+        w, m, c = map_estimate
+        data["map_estimate_weight"] = np.asarray(w)
+        data["map_estimate_mean"] = np.asarray(m)
+        data["map_estimate_cov"] = np.asarray(c)
+    sio.savemat(path, data)

@@ -121,3 +121,28 @@ def test_shotgun_prediction_contracts():
     assert np.isfinite(np.asarray(state.log_weight)).all()
     np.testing.assert_allclose(np.asarray(state.log_weight), -np.log(8),
                                rtol=1e-5)
+
+
+def test_eap_extraction_in_step():
+    """map_estimate=2 -> step outputs the EAP merged map."""
+    from phdslam_tpu.filters.phd import make_step_fn
+    from phdslam_tpu.types import init_state
+
+    cfg = SlamConfig(
+        n_particles=8, max_features=16, max_measurements=4, motion_type=0,
+        feature_model=0, filter_type=0, particle_weighting=0,
+        map_estimate=2, max_range=20.0, std_range=0.25, std_bearing=0.02,
+        clutter_rate=1.0, pd=0.95, birth_weight=0.05, min_separation=2.0,
+        resample_threshold=0.3, seed=1)
+    step = make_step_fn(cfg, donate=False)
+    state = init_state(cfg)
+    z = jnp.asarray([[5.0, 0.3], [7.0, -0.4], [0, 0], [0, 0]], jnp.float32)
+    mask = jnp.asarray([True, True, False, False])
+    for n in range(6):
+        state, out = step(state, z, mask, jnp.zeros((2,), jnp.float32),
+                          jnp.float32(0.1), jnp.asarray(n > 0))
+    w = np.asarray(out.map_weight)
+    # EAP merges across particles: the two persistent landmarks should carry
+    # weight ~1 each (summed across all particles scaled by particle weight)
+    assert (w > 0.5).sum() >= 2
+    assert np.isfinite(np.asarray(out.map_mean)).all()

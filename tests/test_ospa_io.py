@@ -102,3 +102,20 @@ def test_state_log_roundtrip(tmp_path):
     assert logw.size == 5
     cn = np.fromstring(lines[6], sep=" ")
     assert cn.size == 9
+
+
+def test_write_particles_mat(tmp_path):
+    import scipy.io as sio
+
+    from phdslam_tpu.config import SlamConfig
+    from phdslam_tpu.runtime.io import write_particles_mat
+    from phdslam_tpu.types import init_state
+
+    cfg = SlamConfig(n_particles=4, max_features=8)
+    state = init_state(cfg)
+    p = str(tmp_path / "particles.mat")
+    write_particles_mat(p, state, cfg)
+    m = sio.loadmat(p)
+    assert m["particles"].shape == (4, 6)
+    assert m["maps_mean"].shape == (4, 8, 2)
+    assert m["weights"].shape[-1] == 4
