@@ -22,7 +22,7 @@ Reference call-stack parity (SURVEY.md §3.3 ``phdUpdateSynth``):
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
