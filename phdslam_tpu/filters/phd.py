@@ -47,6 +47,8 @@ class StepOutputs(NamedTuple):
     log_weight: jax.Array         # [P] particle log weights (post-step)
     poses: jax.Array              # [P, 6] particle poses (post-step)
     resample_idx: jax.Array       # [P] ancestor indices
+    cardinality: jax.Array        # [C+1] MAP particle's log cardinality
+                                  # (zeros-shaped [1] for PHD runs)
 
 
 # ----------------------------------------------------------------------------
@@ -393,10 +395,18 @@ def phd_step(state: FilterState, z, z_mask, control, dt, do_predict,
         state, n_eff, resampled = maybe_resample(state, has_z, cfg, k_res)
     state = state.replace(step=state.step + 1)
 
+    # cn_estimate = MAP particle's cardinality (recoverSlamState,
+    # main.cpp:344-361)
+    if state.cardinality is not None:
+        cn = jnp.take(state.cardinality, jnp.argmax(state.log_weight),
+                      axis=0)
+    else:
+        cn = jnp.zeros((1,), state.pose.dtype)
     out = StepOutputs(expected_pose=expected_pose, map_mean=mm, map_cov=mc,
                       map_weight=mw, n_eff=n_eff, resampled=resampled,
                       overflow=overflow, log_weight=state.log_weight,
-                      poses=state.pose, resample_idx=state.resample_idx)
+                      poses=state.pose, resample_idx=state.resample_idx,
+                      cardinality=cn)
     return state, out
 
 

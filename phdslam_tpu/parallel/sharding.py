@@ -97,7 +97,7 @@ def make_sharded_step_fn(cfg: SlamConfig, mesh: Mesh, donate: bool = True):
         n_eff=repl, resampled=repl, overflow=repl,
         log_weight=part,
         poses=NamedSharding(mesh, P(PARTICLE_AXIS, None)),
-        resample_idx=part)
+        resample_idx=part, cardinality=repl)
 
     fn = functools.partial(phd_step, cfg=cfg)
     return jax.jit(

@@ -224,7 +224,7 @@ class SynthSLAMRunner:
                 ys += [out.map_mean, out.map_weight]
             if collect_particles:
                 ys += [out.log_weight, out.poses, out.resample_idx,
-                       out.map_cov]
+                       out.map_cov, out.cardinality]
             return (state, ctrl), tuple(ys)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -264,6 +264,7 @@ class SynthSLAMRunner:
             out["poses"] = cat(base + 1)
             out["resample_idx"] = cat(base + 2)
             out["map_covs"] = cat(base + 3)
+            out["cardinalities"] = cat(base + 4)
         return out
 
     def run_sharded(self, mesh=None, collect_maps: bool = False):
