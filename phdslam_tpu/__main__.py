@@ -39,6 +39,11 @@ def main(argv=None):
                     help="execution strategy for the filter loop")
     ap.add_argument("--checkpoint-every", type=int, default=0,
                     help="write an orbax checkpoint every N steps")
+    ap.add_argument("--debug", action="store_true",
+                    help="enable NaN checks (the reference's NaN-weight "
+                         "abort, main.cpp:1307, as a raised error)")
+    ap.add_argument("--trace", metavar="DIR", default=None,
+                    help="write a jax.profiler trace of the run")
     args = ap.parse_args(argv)
 
     from .config import load_config
@@ -55,27 +60,37 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
     shutil.copy(args.config, os.path.join(out_dir, "config.cfg"))
 
-    if args.run_type == "disparity":
-        from .slam_disparity import run_disparity
-        res = run_disparity(cfg, out_dir=out_dir)
-    elif args.profile:
-        from .runtime.checkpoint import profile_single_update
-        res = profile_single_update(cfg, args.profile)
-    else:
-        from .slam import SynthSLAMRunner
-        runner = SynthSLAMRunner(cfg)
-        if args.runner == "chunked":
-            res = runner.run_chunked(collect_maps=True,
-                                     collect_particles=True)
-            runner.write_logs(out_dir, res)
-        elif args.runner == "scanned":
-            res = runner.run_scanned()
+    import contextlib
+
+    from .runtime import profiling
+    ctx = contextlib.ExitStack()
+    if args.debug:
+        ctx.enter_context(profiling.debug_mode(nan_checks=True))
+    if args.trace:
+        ctx.enter_context(profiling.trace(args.trace))
+
+    with ctx:
+        if args.run_type == "disparity":
+            from .slam_disparity import run_disparity
+            res = run_disparity(cfg, out_dir=out_dir)
+        elif args.profile:
+            from .runtime.checkpoint import profile_single_update
+            res = profile_single_update(cfg, args.profile)
         else:
-            res = runner.run(out_dir=out_dir)
-        if args.checkpoint_every:
-            from .runtime.checkpoint import save_checkpoint
-            save_checkpoint(os.path.join(out_dir, "checkpoint"),
-                            runner.state)
+            from .slam import SynthSLAMRunner
+            runner = SynthSLAMRunner(cfg)
+            if args.runner == "chunked":
+                res = runner.run_chunked(collect_maps=True,
+                                         collect_particles=True)
+                runner.write_logs(out_dir, res)
+            elif args.runner == "scanned":
+                res = runner.run_scanned()
+            else:
+                res = runner.run(out_dir=out_dir)
+            if args.checkpoint_every:
+                from .runtime.checkpoint import save_checkpoint
+                save_checkpoint(os.path.join(out_dir, "checkpoint"),
+                                runner.state)
 
     print(f"done: {len(res['est_poses'])} steps "
           f"{res.get('steps_per_s', 0):.2f} steps/s -> {out_dir}")
