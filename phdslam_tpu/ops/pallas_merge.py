@@ -27,32 +27,40 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation):
-    x = in_ref[0]                      # [7, N]
-    w = x[0:1, :]                      # [1, N]
-    act = x[1:2, :]
-    mx = x[2:3, :]
-    my = x[3:4, :]
-    c00 = x[4:5, :]
-    c01 = x[5:6, :]
-    c11 = x[6:7, :]
+def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation,
+                  block):
+    """Greedy merge for a BLOCK of particles at once.
 
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n_cand), 1)
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, out_cap), 1)
+    All per-iteration work is [B, N]-shaped so the VPU's 8x128 lanes are
+    filled across particles, not just candidates; the fori_loop cost is
+    amortized over the block.
+    """
+    B = block
+    x = in_ref[:]                      # [B, 7, N]
+    w = x[:, 0, :]                     # [B, N]
+    act = x[:, 1, :]
+    mx = x[:, 2, :]
+    my = x[:, 3, :]
+    c00 = x[:, 4, :]
+    c01 = x[:, 5, :]
+    c11 = x[:, 6, :]
+
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (B, n_cand), 1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (B, out_cap), 1)
 
     def body(c, carry):
         unmerged, ow, omx, omy, o00, o01, o11 = carry
         w_act = jnp.where(unmerged > 0.5, w, -1.0)
-        imax = jnp.argmax(w_act)
-        has = jnp.max(w_act) > 0.0
+        imax = jnp.argmax(w_act, axis=-1)[:, None]            # [B, 1]
+        has = (jnp.max(w_act, axis=-1) > 0.0)[:, None]        # [B, 1]
 
-        oh = (iota_n == imax).astype(jnp.float32)
+        oh = (iota_n == imax).astype(jnp.float32)             # [B, N]
         # principal's moments via one-hot reductions (no dynamic gather)
-        pmx = jnp.sum(oh * mx)
-        pmy = jnp.sum(oh * my)
-        p00 = jnp.sum(oh * c00)
-        p01 = jnp.sum(oh * c01)
-        p11 = jnp.sum(oh * c11)
+        pmx = jnp.sum(oh * mx, axis=-1, keepdims=True)
+        pmy = jnp.sum(oh * my, axis=-1, keepdims=True)
+        p00 = jnp.sum(oh * c00, axis=-1, keepdims=True)
+        p01 = jnp.sum(oh * c01, axis=-1, keepdims=True)
+        p11 = jnp.sum(oh * c11, axis=-1, keepdims=True)
 
         # Mahalanobis^2 with averaged covariance (computeMahalDist,
         # device_math.cuh:308-363)
@@ -69,17 +77,20 @@ def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation):
         self_f = sel.astype(jnp.float32)
 
         sw = self_f * w
-        W = jnp.sum(sw)
+        W = jnp.sum(sw, axis=-1, keepdims=True)               # [B, 1]
         W_safe = jnp.maximum(W, 1e-30)
-        mu_x = jnp.sum(sw * mx) / W_safe
-        mu_y = jnp.sum(sw * my) / W_safe
+        mu_x = jnp.sum(sw * mx, axis=-1, keepdims=True) / W_safe
+        mu_y = jnp.sum(sw * my, axis=-1, keepdims=True) / W_safe
         ddx = mu_x - mx
         ddy = mu_y - my
-        m00 = jnp.sum(sw * (c00 + ddx * ddx)) / W_safe
-        m01 = jnp.sum(sw * (c01 + ddx * ddy)) / W_safe
-        m11 = jnp.sum(sw * (c11 + ddy * ddy)) / W_safe
+        m00 = jnp.sum(sw * (c00 + ddx * ddx), axis=-1,
+                      keepdims=True) / W_safe
+        m01 = jnp.sum(sw * (c01 + ddx * ddy), axis=-1,
+                      keepdims=True) / W_safe
+        m11 = jnp.sum(sw * (c11 + ddy * ddy), axis=-1,
+                      keepdims=True) / W_safe
 
-        emit = (iota_k == c) & has
+        emit = (iota_k == c) & has                            # [B, K]
         ow = jnp.where(emit, W, ow)
         omx = jnp.where(emit, mu_x, omx)
         omy = jnp.where(emit, mu_y, omy)
@@ -91,20 +102,20 @@ def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation):
         return (unmerged, ow, omx, omy, o00, o01, o11)
 
     unmerged0 = act
-    zk = jnp.zeros((1, out_cap), jnp.float32)
+    zk = jnp.zeros((B, out_cap), jnp.float32)
     carry = (unmerged0, zk, zk, zk, zk, zk, zk)
     unmerged, ow, omx, omy, o00, o01, o11 = jax.lax.fori_loop(
         0, out_cap, body, carry)
 
-    n_left = jnp.sum(unmerged)
-    out_ref[0, 0:1, :] = ow
-    out_ref[0, 1:2, :] = omx
-    out_ref[0, 2:3, :] = omy
-    out_ref[0, 3:4, :] = o00
-    out_ref[0, 4:5, :] = o01
-    out_ref[0, 5:6, :] = o11
-    out_ref[0, 6:7, :] = jnp.full((1, out_cap), n_left, jnp.float32)
-    out_ref[0, 7:8, :] = zk
+    n_left = jnp.sum(unmerged, axis=-1, keepdims=True)        # [B, 1]
+    out_ref[:, 0, :] = ow
+    out_ref[:, 1, :] = omx
+    out_ref[:, 2, :] = omy
+    out_ref[:, 3, :] = o00
+    out_ref[:, 4, :] = o01
+    out_ref[:, 5, :] = o11
+    out_ref[:, 6, :] = jnp.broadcast_to(n_left, (B, out_cap))
+    out_ref[:, 7, :] = zk
 
 
 def pallas_available() -> bool:
@@ -140,17 +151,27 @@ def gm_merge_pallas_batch(mean, cov, weight, active, min_separation,
         mean[..., 0], mean[..., 1],
         cov[..., 0, 0], cov[..., 0, 1], cov[..., 1, 1]], axis=1)  # [P, 7, N]
 
+    # Particle-block vectorization: fill the VPU's sublanes with 8 particles
+    # per program instead of one. Pad P up to a block multiple with inert
+    # (act = 0) particles.
+    B = 8 if P >= 8 else P
+    P_pad = ((P + B - 1) // B) * B
+    if P_pad != P:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((P_pad - P, 7, N), jnp.float32)], axis=0)
+
     out = pl.pallas_call(
         functools.partial(_merge_kernel, n_cand=N, out_cap=out_cap,
-                          min_separation=float(min_separation)),
-        out_shape=jax.ShapeDtypeStruct((P, 8, out_cap), jnp.float32),
-        grid=(P,),
-        in_specs=[pl.BlockSpec((1, 7, N), lambda p: (p, 0, 0),
+                          min_separation=float(min_separation), block=B),
+        out_shape=jax.ShapeDtypeStruct((P_pad, 8, out_cap), jnp.float32),
+        grid=(P_pad // B,),
+        in_specs=[pl.BlockSpec((B, 7, N), lambda p: (p, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 8, out_cap), lambda p: (p, 0, 0),
+        out_specs=pl.BlockSpec((B, 8, out_cap), lambda p: (p, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(packed)
+    out = out[:P]
 
     out_w = out[:, 0, :]
     out_mean = jnp.stack([out[:, 1, :], out[:, 2, :]], axis=-1)
