@@ -96,14 +96,14 @@ def predict(state: FilterState, control, dt, cfg: SlamConfig,
 # Per-particle GM-PHD measurement update
 # ----------------------------------------------------------------------------
 
-def _update_single(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
-                   key=None):
-    """Single-particle GM-PHD update (phdUpdateKernel, phdfilter.cu:2083-2321).
+def _update_single_pre(pose, mean, cov, weight, z, z_mask,
+                       cfg: SlamConfig, key=None):
+    """Pre-merge half of the single-particle GM-PHD update
+    (phdUpdateKernel, phdfilter.cu:2083-2321): in-range partition, EKF
+    pre-update, normalizers, weights and the compacted merge-candidate set.
 
-    Returns (new_mean, new_cov, new_weight, dlog_w, overflow[, variance]).
-    Shapes: mean [K, D], cov [K, D, D], weight [K], z [M, 2], z_mask [M].
-    ``variance`` is appended when cfg.compute_variance and a key is given
-    (phdVarianceKernel on the pre-merge candidate array).
+    Returns a dict consumed by :func:`_update_single_post` (the merge runs
+    between the halves so the batched path can hoist it out of vmap).
     """
     K, D = mean.shape
     M = z.shape[0]
@@ -193,9 +193,23 @@ def _update_single(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
 
     cand_mean, cand_cov, cand_w, cand_act, n_compact = compact_candidates(
         cand_mean, cand_cov, cand_w, cand_act, cfg.merge_candidate_cap)
-    mg_mean, mg_cov, mg_w, n_merged, n_dropped = merge_dispatch(
-        cand_mean, cand_cov, cand_w, cand_act, cfg, K)
-    n_dropped = n_dropped + n_compact
+
+    pre_out = dict(cand=(cand_mean, cand_cov, cand_w, cand_act),
+                   dlog_w=dlog_w, out_m=out_m, n_compact=n_compact,
+                   variance=variance, log_like=log_like, mean_det=mean_det,
+                   det_valid=det_valid)
+    return pre_out
+
+
+def _update_single_post(mg, pre_out, mean, cov, weight, cfg: SlamConfig):
+    """Post-merge half of the per-particle update: re-attach out-of-range
+    features, compact to capacity, and (scheme 2) reweight."""
+    K, D = mean.shape
+    dtype = mean.dtype
+    mg_mean, mg_cov, mg_w, n_merged, n_dropped = mg
+    n_dropped = n_dropped + pre_out["n_compact"]
+    out_m = pre_out["out_m"]
+    dlog_w = pre_out["dlog_w"]
 
     # recombine with untouched out-of-range features (phdfilter.cu:3311-3318)
     all_mean = jnp.concatenate([mg_mean, mean], axis=0)
@@ -222,12 +236,66 @@ def _update_single(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
         # (phdfilter.cu:3599-3661)
         from .extras import single_feature_dlogw
         dlog_w = single_feature_dlogw(
-            log_like, mean_det, det_valid, mean, cov, weight,
-            new_mean, new_cov, new_w, cfg)
+            pre_out["log_like"], pre_out["mean_det"], pre_out["det_valid"],
+            mean, cov, weight, new_mean, new_cov, new_w, cfg)
 
-    if variance is not None:
-        return new_mean, new_cov, new_w, dlog_w, overflow, variance
+    if pre_out["variance"] is not None:
+        return new_mean, new_cov, new_w, dlog_w, overflow, \
+            pre_out["variance"]
     return new_mean, new_cov, new_w, dlog_w, overflow
+
+
+def _update_single(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
+                   key=None):
+    """Single-particle GM-PHD update — the full reference composition
+    (pre -> merge -> post). Returns (new_mean, new_cov, new_weight, dlog_w,
+    overflow[, variance])."""
+    pre_out = _update_single_pre(pose, mean, cov, weight, z, z_mask, cfg,
+                                 key)
+    mg = merge_dispatch(*pre_out["cand"], cfg, mean.shape[0])
+    return _update_single_post(mg, pre_out, mean, cov, weight, cfg)
+
+
+def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
+                    keys=None):
+    """All-particle update with the merge hoisted OUT of the vmap.
+
+    Calling the Pallas merge inside vmap degenerates to one particle per
+    program (the kernel's particle-block never engages, measured 5x slower);
+    here the vmapped pre/post halves wrap one batch-level merge call.
+    """
+    K = mean.shape[-2]
+    D = mean.shape[-1]
+    if keys is not None:
+        pre = jax.vmap(lambda p, m, c, w, k: _update_single_pre(
+            p, m, c, w, z, z_mask, cfg, k))(pose, mean, cov, weight, keys)
+    else:
+        pre = jax.vmap(lambda p, m, c, w: _update_single_pre(
+            p, m, c, w, z, z_mask, cfg))(pose, mean, cov, weight)
+
+    cm, cc, cw, ca = pre["cand"]
+    use_pallas = (cfg.pallas_merge and D == 2 and cfg.distance_metric == 0)
+    if use_pallas:
+        from ..ops.pallas_merge import (gm_merge_pallas_batch,
+                                        pallas_available)
+        if cfg.pallas_merge == 2:
+            mg = gm_merge_pallas_batch(cm, cc, cw, ca,
+                                       float(cfg.min_separation), K,
+                                       interpret=True)
+        elif pallas_available():
+            mg = gm_merge_pallas_batch(cm, cc, cw, ca,
+                                       float(cfg.min_separation), K)
+        else:
+            use_pallas = False
+    if not use_pallas:
+        from ..ops.gm_merge import gm_merge_batch
+        mg = gm_merge_batch(cm, cc, cw, ca, cfg.min_separation, K,
+                            cfg.distance_metric)
+
+    return jax.vmap(
+        lambda mg_t, pre_t, m, c, w: _update_single_post(mg_t, pre_t, m, c,
+                                                         w, cfg)
+    )(mg, pre, mean, cov, weight)
 
 
 def update(state: FilterState, z, z_mask, cfg: SlamConfig, key=None):
@@ -241,17 +309,12 @@ def update(state: FilterState, z, z_mask, cfg: SlamConfig, key=None):
         return mixed_update(state, z, z_mask, cfg)
 
     with_var = cfg.compute_variance and key is not None
+    keys = (jax.random.split(key, state.pose.shape[0]) if with_var else None)
+    upd = _batched_update(state.pose, gm.mean, gm.cov, gm.weight, z, z_mask,
+                          cfg, keys)
     if with_var:
-        keys = jax.random.split(key, state.pose.shape[0])
-        upd = jax.vmap(
-            lambda p, m, c, w, k: _update_single(p, m, c, w, z, z_mask, cfg,
-                                                 k)
-        )(state.pose, gm.mean, gm.cov, gm.weight, keys)
         new_mean, new_cov, new_w, dlog_w, overflow, variance = upd
     else:
-        upd = jax.vmap(
-            lambda p, m, c, w: _update_single(p, m, c, w, z, z_mask, cfg)
-        )(state.pose, gm.mean, gm.cov, gm.weight)
         new_mean, new_cov, new_w, dlog_w, overflow = upd
         variance = state.variance
 
