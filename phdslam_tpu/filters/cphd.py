@@ -37,7 +37,7 @@ from jax.scipy.special import gammaln
 from ..config import SlamConfig
 from ..models import measurement
 from ..ops import ekf
-from ..ops.gm_merge import compact_candidates, merge_dispatch
+from ..ops.gm_merge import compact_candidates
 from ..ops.math import LOG0, logsumexp, masked_logsumexp, safe_log
 from ..types import FilterState, GMState
 
@@ -304,9 +304,19 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
 
     cand_mean, cand_cov, cand_w, cand_act, n_compact = compact_candidates(
         cand_mean, cand_cov, cand_w, cand_act, cfg.merge_candidate_cap)
-    mg_mean, mg_cov, mg_w, _, n_dropped = merge_dispatch(
-        cand_mean, cand_cov, cand_w, cand_act, cfg, K)
-    n_dropped = n_dropped + n_compact
+    return dict(cand=(cand_mean, cand_cov, cand_w, cand_act),
+                log_cn=log_cn_update, dlog_w=dlog_w, out_m=out_m,
+                n_compact=n_compact)
+
+
+def _cphd_update_single_post(mg, pre_out, mean, cov, weight,
+                             cfg: SlamConfig):
+    """Post-merge half: re-attach out-of-range features and compact."""
+    K, D = mean.shape
+    eye = jnp.eye(D, dtype=mean.dtype)
+    mg_mean, mg_cov, mg_w, _, n_dropped = mg
+    n_dropped = n_dropped + pre_out["n_compact"]
+    out_m = pre_out["out_m"]
 
     all_mean = jnp.concatenate([mg_mean, mean], axis=0)
     all_cov = jnp.concatenate([mg_cov, cov], axis=0)
@@ -323,7 +333,8 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
 
     total_live = jnp.sum((all_w > 0).astype(jnp.int32))
     overflow = jnp.maximum(total_live - K, 0) + n_dropped
-    return new_mean, new_cov, new_w, log_cn_update, dlog_w, overflow
+    return new_mean, new_cov, new_w, pre_out["log_cn"], pre_out["dlog_w"], \
+        overflow
 
 
 def add_births(gm: GMState, pose, z, z_mask, cfg: SlamConfig):
@@ -366,11 +377,17 @@ def add_births(gm: GMState, pose, z, z_mask, cfg: SlamConfig):
 def cphd_update(state: FilterState, z, z_mask, consts, cfg: SlamConfig):
     """CPHD measurement update over all particles + birth injection for the
     next scan + cardinality convolution with the binomial birth cardinality."""
+    from ..ops.gm_merge import merge_batch_dispatch
     gm = state.map_static
-    upd = jax.vmap(
+    pre = jax.vmap(
         lambda p, m, c, w: _cphd_update_single(p, m, c, w, z, z_mask, consts,
                                                cfg)
     )(state.pose, gm.mean, gm.cov, gm.weight)
+    mg = merge_batch_dispatch(*pre["cand"], cfg, gm.mean.shape[-2])
+    upd = jax.vmap(
+        lambda mg_t, pre_t, m, c, w: _cphd_update_single_post(
+            mg_t, pre_t, m, c, w, cfg)
+    )(mg, pre, gm.mean, gm.cov, gm.weight)
     new_mean, new_cov, new_w, log_cn, dlog_w, overflow = upd
 
     log_w = state.log_weight + dlog_w

@@ -273,24 +273,9 @@ def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
         pre = jax.vmap(lambda p, m, c, w: _update_single_pre(
             p, m, c, w, z, z_mask, cfg))(pose, mean, cov, weight)
 
+    from ..ops.gm_merge import merge_batch_dispatch
     cm, cc, cw, ca = pre["cand"]
-    use_pallas = (cfg.pallas_merge and D == 2 and cfg.distance_metric == 0)
-    if use_pallas:
-        from ..ops.pallas_merge import (gm_merge_pallas_batch,
-                                        pallas_available)
-        if cfg.pallas_merge == 2:
-            mg = gm_merge_pallas_batch(cm, cc, cw, ca,
-                                       float(cfg.min_separation), K,
-                                       interpret=True)
-        elif pallas_available():
-            mg = gm_merge_pallas_batch(cm, cc, cw, ca,
-                                       float(cfg.min_separation), K)
-        else:
-            use_pallas = False
-    if not use_pallas:
-        from ..ops.gm_merge import gm_merge_batch
-        mg = gm_merge_batch(cm, cc, cw, ca, cfg.min_separation, K,
-                            cfg.distance_metric)
+    mg = merge_batch_dispatch(cm, cc, cw, ca, cfg, K)
 
     return jax.vmap(
         lambda mg_t, pre_t, m, c, w: _update_single_post(mg_t, pre_t, m, c,
