@@ -97,7 +97,7 @@ def predict(state: FilterState, control, dt, cfg: SlamConfig,
 # ----------------------------------------------------------------------------
 
 def _update_single_pre(pose, mean, cov, weight, z, z_mask,
-                       cfg: SlamConfig, key=None):
+                       cfg: SlamConfig, key=None, force_full=False):
     """Pre-merge half of the single-particle GM-PHD update
     (phdUpdateKernel, phdfilter.cu:2083-2321): in-range partition, EKF
     pre-update, normalizers, weights and the compacted merge-candidate set.
@@ -114,32 +114,55 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
     near_m = cls == measurement.NEARLY_IN_RANGE
     out_m = (cls == measurement.OUT_OF_RANGE) & (weight > 0)
 
+    # slow path: full candidate materialization (needed when downstream
+    # consumers want the whole [K + M*K + M] lane grid — MC variance
+    # estimation and the scheme-2 reweighting's mean_det/log_like grids)
+    slow = (cfg.compute_variance and key is not None) \
+        or cfg.particle_weighting == 2 or force_full
+    cap = cfg.merge_candidate_cap
+    # the fast path needs an active compaction cap (it selects `cap` lanes)
+    use_fast = (not slow) and 0 < cap < (K + M * K + M)
+
     pre = ekf.ekf_preupdate(pose, mean, cov, cfg)
-    mean_det, logw_part, log_like = ekf.ekf_detection_terms(pre, mean, weight,
-                                                            z, cfg)
-
     det_valid = z_mask[:, None] & in_m[None, :]
-    logw_part = jnp.where(det_valid, logw_part, LOG0)
+    if not use_fast:
+        mean_det, logw_part, log_like = ekf.ekf_detection_terms(
+            pre, mean, weight, z, cfg)
+        logw_part = jnp.where(det_valid, logw_part, LOG0)
 
-    # per-measurement normalizer: sum exp(partial) + clutterDensity + birthWeight
-    # (phdfilter.cu:2190-2223)
-    log_cd = jnp.full((M, 1), safe_log(cfg.clutter_density), dtype=dtype)
-    log_bw = jnp.full((M, 1), safe_log(cfg.birth_weight), dtype=dtype)
-    all_logw = jnp.concatenate([logw_part, log_cd, log_bw], axis=1)
-    mmax = jnp.max(all_logw, axis=1, keepdims=True)
-    log_norm = jnp.squeeze(mmax, 1) + jnp.log(
-        jnp.sum(jnp.exp(all_logw - mmax), axis=1))          # [M]
+        # per-measurement normalizer: sum exp(partial) + clutterDensity
+        # + birthWeight (phdfilter.cu:2190-2223)
+        log_cd = jnp.full((M, 1), safe_log(cfg.clutter_density), dtype=dtype)
+        log_bw = jnp.full((M, 1), safe_log(cfg.birth_weight), dtype=dtype)
+        all_logw = jnp.concatenate([logw_part, log_cd, log_bw], axis=1)
+        mmax = jnp.max(all_logw, axis=1, keepdims=True)
+        log_norm = jnp.squeeze(mmax, 1) + jnp.log(
+            jnp.sum(jnp.exp(all_logw - mmax), axis=1))          # [M]
+        # detection terms, normalized (phdfilter.cu:2290-2299)
+        w_det = jnp.where(det_valid,
+                          jnp.exp(logw_part - log_norm[:, None]), 0.0)
+        w_birth = jnp.where(
+            z_mask, jnp.exp(safe_log(cfg.birth_weight) - log_norm), 0.0)
+    else:
+        # linear-domain normalizer — the reference's own arithmetic
+        # (phdUpdateKernel sums exp(w_partial) linearly, :2190-2223) at one
+        # transcendental per [M, K] lane
+        mean_det = None
+        log_like = None
+        pdw = ekf.ekf_detection_linear(pre, weight, z)
+        pdw = jnp.where(det_valid, pdw, 0.0)
+        norm = jnp.sum(pdw, axis=1) + cfg.clutter_density \
+            + cfg.birth_weight                                  # [M]
+        log_norm = jnp.log(norm)
+        w_det = pdw / norm[:, None]
+        w_birth = jnp.where(z_mask, cfg.birth_weight / norm, 0.0)
 
     # non-detection terms (linear weights, phdfilter.cu:2136-2141)
     w_nd = jnp.where(in_m, weight * (1.0 - pre.pd), 0.0)
-    # detection terms, normalized (phdfilter.cu:2290-2299)
-    w_det = jnp.where(det_valid, jnp.exp(logw_part - log_norm[:, None]), 0.0)
     # birth terms (phdfilter.cu:2250-2253, 2290-2299)
     b_mean, b_cov = measurement.birth_mean_cov(pose, z, cfg)
     if D == 4:
         b_mean, b_cov = measurement.birth_mean_cov_4d(pose, z, cfg)
-    w_birth = jnp.where(
-        z_mask, jnp.exp(safe_log(cfg.birth_weight) - log_norm), 0.0)
 
     n_valid_z = jnp.sum(z_mask.astype(dtype))
 
@@ -167,37 +190,119 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
     act_b = det_valid & (w_det >= min_fw)
     act_c = z_mask & (w_birth >= min_fw)
 
-    # merge candidate set: [K persistent | M*K detections | M births]
-    cand_mean = jnp.concatenate(
-        [mean, mean_det.reshape(M * K, D), b_mean], axis=0)
-    cand_cov = jnp.concatenate(
-        [cov,
-         jnp.broadcast_to(pre.cov_upd[None], (M, K, D, D)).reshape(M * K, D, D),
-         b_cov], axis=0)
-    cand_w = jnp.concatenate([w_a, w_det.reshape(M * K), w_birth], axis=0)
-    cand_act = jnp.concatenate([act_a, act_b.reshape(M * K), act_c], axis=0)
-
-    # sanitize inactive candidates: masked lanes can hold non-finite values
-    # (e.g. births from padded zero measurements) and 0 * NaN would poison
-    # the merge's masked reductions
+    # merge candidate set: lane layout [K persistent | M*K detections | M births]
     eye = jnp.eye(D, dtype=dtype)
-    cand_mean = jnp.where(cand_act[:, None], cand_mean, 0.0)
-    cand_cov = jnp.where(cand_act[:, None, None], cand_cov, eye)
-    cand_w = jnp.where(cand_act, cand_w, 0.0)
+    N = K + M * K + M
+    if use_fast:
+        # FAST PATH: top-k over candidate *weights* only, then piecewise
+        # indexed gathers from the small source tables. Neither the
+        # [N, D, D] candidate covariance (detection cov is shared per
+        # feature, phdfilter.cu:1890-1894) nor the [M, K, D] mean grid is
+        # ever materialized — detection means are computed post-selection
+        # for the `cap` surviving lanes only.
+        cand_w = jnp.concatenate([w_a, w_det.reshape(M * K), w_birth], axis=0)
+        cand_act = jnp.concatenate([act_a, act_b.reshape(M * K), act_c],
+                                   axis=0)
+        from ..ops.gm_merge import topk_compact_indices
+        idx, cand_w, sel_act, n_compact = topk_compact_indices(
+            cand_w, cand_act, cap)
 
-    variance = None
-    if cfg.compute_variance and key is not None:
-        from .extras import mc_variance_candidates
-        variance = mc_variance_candidates(
-            cand_mean, cand_cov, cand_w, K, cfg.n_samples, key)
+        is_p = idx < K
+        is_d = (idx >= K) & (idx < K + M * K)
+        d_idx = jnp.clip(idx - K, 0, M * K - 1)
+        k_src = d_idx % K
+        m_src = d_idx // K
+        b_idx = jnp.clip(idx - K - M * K, 0, M - 1)
+        p_idx = jnp.clip(idx, 0, K - 1)
 
-    cand_mean, cand_cov, cand_w, cand_act, n_compact = compact_candidates(
-        cand_mean, cand_cov, cand_w, cand_act, cfg.merge_candidate_cap)
+        # Row selection as one-hot matmuls: TPU gathers of tiny rows
+        # serialize (measured ~13-16 ms per 512x512-row gather set at
+        # P=512), while a [cap, K] x [K, cols] one-hot product rides the
+        # MXU and — under the package-wide f32 "highest" matmul precision —
+        # is an exact row copy. All sources are small per-particle tables
+        # (K persistent rows, M measurement rows), so everything a
+        # surviving lane needs is fetched with two batched matmuls.
+        k_eff = jnp.where(is_d, k_src, p_idx)            # [cap] in [0, K)
+        m_eff = jnp.where(is_d, m_src, b_idx)            # [cap] in [0, M)
+        oh_k = (k_eff[:, None] == jnp.arange(K)[None, :]).astype(dtype)
+        oh_m = (m_eff[:, None] == jnp.arange(M)[None, :]).astype(dtype)
 
+        DD, G = D * D, D * 2
+        t_k = jnp.concatenate(
+            [mean, cov.reshape(K, DD), pre.cov_upd.reshape(K, DD),
+             pre.gain.reshape(K, G), pre.r[:, None], pre.bearing[:, None]],
+            axis=1)                                      # [K, 2D+2D^2+2D+2]
+        t_m = jnp.concatenate([z, b_mean, b_cov.reshape(M, DD)], axis=1)
+        r_k = oh_k @ t_k                                 # [cap, cols]
+        r_m = oh_m @ t_m
+
+        o = 0
+        mean_k = r_k[:, o:o + D]; o += D
+        cov_k = r_k[:, o:o + DD].reshape(cap, D, D); o += DD
+        cov_upd_k = r_k[:, o:o + DD].reshape(cap, D, D); o += DD
+        gain_k = r_k[:, o:o + G].reshape(cap, D, 2); o += G
+        range_k = r_k[:, o]; o += 1
+        bearing_k = r_k[:, o]
+        z_m = r_m[:, 0:2]
+        b_mean_m = r_m[:, 2:2 + D]
+        b_cov_m = r_m[:, 2 + D:2 + D + DD].reshape(cap, D, D)
+
+        from ..ops.math import wrap_angle
+        innov = jnp.stack(
+            [z_m[:, 0] - range_k,
+             wrap_angle(z_m[:, 1] - bearing_k)], axis=-1)  # [cap, 2]
+        mean_d = mean_k + jnp.einsum("cij,cj->ci", gain_k, innov)
+
+        sel_mean = jnp.where(
+            is_p[:, None], mean_k,
+            jnp.where(is_d[:, None], mean_d, b_mean_m))
+        sel_cov = jnp.where(
+            is_p[:, None, None], cov_k,
+            jnp.where(is_d[:, None, None], cov_upd_k, b_cov_m))
+        # sanitize empty lanes (padded births can be non-finite; 0 * NaN
+        # would poison the merge's masked reductions)
+        cand_mean = jnp.where(sel_act[:, None], sel_mean, 0.0)
+        cand_cov = jnp.where(sel_act[:, None, None], sel_cov, eye)
+        cand_act = sel_act
+        variance = None
+    else:
+        cand_mean = jnp.concatenate(
+            [mean, mean_det.reshape(M * K, D), b_mean], axis=0)
+        cand_cov = jnp.concatenate(
+            [cov,
+             jnp.broadcast_to(pre.cov_upd[None],
+                              (M, K, D, D)).reshape(M * K, D, D),
+             b_cov], axis=0)
+        cand_w = jnp.concatenate([w_a, w_det.reshape(M * K), w_birth], axis=0)
+        cand_act = jnp.concatenate([act_a, act_b.reshape(M * K), act_c],
+                                   axis=0)
+
+        # sanitize inactive candidates: masked lanes can hold non-finite
+        # values (e.g. births from padded zero measurements) and 0 * NaN
+        # would poison the merge's masked reductions
+        cand_mean = jnp.where(cand_act[:, None], cand_mean, 0.0)
+        cand_cov = jnp.where(cand_act[:, None, None], cand_cov, eye)
+        cand_w = jnp.where(cand_act, cand_w, 0.0)
+
+        variance = None
+        if cfg.compute_variance and key is not None:
+            from .extras import mc_variance_candidates
+            variance = mc_variance_candidates(
+                cand_mean, cand_cov, cand_w, K, cfg.n_samples, key)
+
+        cand_mean, cand_cov, cand_w, cand_act, n_compact = compact_candidates(
+            cand_mean, cand_cov, cand_w, cand_act, cap)
+
+    # mean_det/log_like/det_valid grids are only consumed by the scheme-2
+    # reweighting in _update_single_post; drop them otherwise so the vmap
+    # never materializes them as outputs
+    keep_grids = cfg.particle_weighting == 2
     pre_out = dict(cand=(cand_mean, cand_cov, cand_w, cand_act),
                    dlog_w=dlog_w, out_m=out_m, n_compact=n_compact,
-                   variance=variance, log_like=log_like, mean_det=mean_det,
-                   det_valid=det_valid)
+                   variance=variance,
+                   log_like=log_like if keep_grids else None,
+                   mean_det=mean_det if keep_grids else None,
+                   det_valid=det_valid if keep_grids else None)
     return pre_out
 
 
@@ -217,11 +322,14 @@ def _update_single_post(mg, pre_out, mean, cov, weight, cfg: SlamConfig):
     all_w = jnp.concatenate([mg_w, jnp.where(out_m, weight, 0.0)], axis=0)
 
     # top-K compaction by weight (overflow -> lowest-weight drop; the
-    # reference has no capacity, so surface overflow for diagnostics)
-    _, order = jax.lax.top_k(all_w, K)
-    new_mean = all_mean[order]
-    new_cov = all_cov[order]
-    new_w = all_w[order]
+    # reference has no capacity, so surface overflow for diagnostics).
+    # Row moves ride the MXU as an exact one-hot matmul (see the fast-path
+    # note in _update_single_pre: TPU gathers of tiny rows serialize).
+    new_w, order = jax.lax.top_k(all_w, K)
+    n_all = all_w.shape[0]
+    oh = (order[:, None] == jnp.arange(n_all)[None, :]).astype(dtype)
+    new_mean = oh @ all_mean
+    new_cov = (oh @ all_cov.reshape(n_all, D * D)).reshape(K, D, D)
     # restore identity covariance on empty slots
     empty = new_w <= 0
     new_cov = jnp.where(empty[:, None, None], jnp.eye(D, dtype=dtype), new_cov)

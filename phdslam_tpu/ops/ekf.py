@@ -83,25 +83,89 @@ def ekf_preupdate(pose, mean, cov, cfg) -> PreUpdate:
                      det_S=det_S, gain=gain, cov_upd=cov_upd)
 
 
+def ekf_detection_logw(pre: PreUpdate, weight, z, cfg):
+    """Per-(measurement, feature) partial log-weights only (no means).
+
+    z: [M, 2] (range, bearing) padded measurements.
+    Returns (log_w_partial[M, K], log_like[M, K]).
+
+    log_w_partial = log(pd) + log(w) - 0.5 d'S^-1 d - log(2 pi)
+                    - 0.5 log det S     (phdfilter.cu:1916-1922)
+
+    The Mahalanobis form is expanded elementwise so XLA fuses the [M, K]
+    innovation grid into the likelihood without materializing an [M, K, 2]
+    tensor in HBM (the updated means — the only O(M K D) output — are
+    produced separately, and the fast path computes them post-compaction
+    for surviving lanes only).
+    """
+    innov_r = z[:, None, 0] - pre.r[None, :]                      # [M, K]
+    innov_b = wrap_angle(z[:, None, 1] - pre.bearing[None, :])    # [M, K]
+
+    s00 = pre.S_inv[..., 0, 0][None, :]
+    s01 = pre.S_inv[..., 0, 1][None, :]
+    s10 = pre.S_inv[..., 1, 0][None, :]
+    s11 = pre.S_inv[..., 1, 1][None, :]
+    dist = (s00 * innov_r * innov_r + (s01 + s10) * innov_r * innov_b
+            + s11 * innov_b * innov_b)
+    log_like = -0.5 * dist - jnp.log(2.0 * jnp.pi) \
+        - 0.5 * safe_log(pre.det_S)[None, :]
+    log_w_partial = safe_log(pre.pd)[None, :] + safe_log(weight)[None, :] \
+        + log_like
+    return log_w_partial, log_like
+
+
+def ekf_detection_linear(pre: PreUpdate, weight, z):
+    """Linear-domain detection terms: pd * w * N(z; h(x), S) per lane.
+
+    Returns [M, K]. This matches the reference's normalizer arithmetic
+    exactly — ``phdUpdateKernel`` sums ``exp(w_partial)`` linearly
+    (phdfilter.cu:2190-2223) — and costs ONE transcendental per lane
+    (the log-domain route needs exp + the logsumexp max pass).
+    Lanes that underflow f32 contribute 0, as in the reference.
+    """
+    innov_r = z[:, None, 0] - pre.r[None, :]                      # [M, K]
+    innov_b = wrap_angle(z[:, None, 1] - pre.bearing[None, :])    # [M, K]
+    s00 = pre.S_inv[..., 0, 0][None, :]
+    s01 = pre.S_inv[..., 0, 1][None, :]
+    s10 = pre.S_inv[..., 1, 0][None, :]
+    s11 = pre.S_inv[..., 1, 1][None, :]
+    dist = (s00 * innov_r * innov_r + (s01 + s10) * innov_r * innov_b
+            + s11 * innov_b * innov_b)
+    # per-feature prefactor: pd * w / (2 pi sqrt(det S))
+    pref = pre.pd * weight / (2.0 * jnp.pi
+                              * jnp.sqrt(jnp.maximum(pre.det_S, 1e-30)))
+    return pref[None, :] * jnp.exp(-0.5 * dist)
+
+
+def ekf_detection_means(pre: PreUpdate, mean, z):
+    """Full [M, K, D] grid of EKF-updated means (preUpdateSynthKernel's
+    per-(measurement, feature) mean writes, phdfilter.cu:1898-1906)."""
+    innov_r = z[:, None, 0] - pre.r[None, :]                      # [M, K]
+    innov_b = wrap_angle(z[:, None, 1] - pre.bearing[None, :])    # [M, K]
+    innov = jnp.stack([innov_r, innov_b], axis=-1)                # [M, K, 2]
+    return mean[None] + jnp.einsum("...ij,m...j->m...i",
+                                   pre.gain, innov)               # [M, K, D]
+
+
+def ekf_detection_means_at(pre: PreUpdate, mean, z, m_src, k_src):
+    """EKF-updated means for selected (measurement, feature) lane pairs only.
+
+    m_src/k_src: [C] integer indices. Returns [C, D]. Used by the compacted
+    fast path so the O(M K D) mean grid never hits HBM.
+    """
+    zr = z[m_src, 0]
+    zb = z[m_src, 1]
+    innov = jnp.stack([zr - pre.r[k_src],
+                       wrap_angle(zb - pre.bearing[k_src])], axis=-1)  # [C,2]
+    return mean[k_src] + jnp.einsum("cij,cj->ci", pre.gain[k_src], innov)
+
+
 def ekf_detection_terms(pre: PreUpdate, mean, weight, z, cfg):
     """Per-(measurement, feature) updated means and partial log-weights.
 
     z: [M, 2] (range, bearing) padded measurements.
     Returns (mean_upd[M, K, D], log_w_partial[M, K], log_like[M, K]).
-
-    log_w_partial = log(pd) + log(w) - 0.5 d'S^-1 d - log(2 pi)
-                    - 0.5 log det S     (phdfilter.cu:1916-1922)
     """
-    innov_r = z[:, None, 0] - pre.r[None, :]                      # [M, K]
-    innov_b = wrap_angle(z[:, None, 1] - pre.bearing[None, :])    # [M, K]
-    innov = jnp.stack([innov_r, innov_b], axis=-1)                # [M, K, 2]
-
-    mean_upd = mean[None] + jnp.einsum("...ij,m...j->m...i",
-                                       pre.gain, innov)           # [M, K, D]
-
-    dist = jnp.einsum("mki,kij,mkj->mk", innov, pre.S_inv, innov)
-    log_like = -0.5 * dist - jnp.log(2.0 * jnp.pi) \
-        - 0.5 * safe_log(pre.det_S)[None, :]
-    log_w_partial = safe_log(pre.pd)[None, :] + safe_log(weight)[None, :] \
-        + log_like
+    log_w_partial, log_like = ekf_detection_logw(pre, weight, z, cfg)
+    mean_upd = ekf_detection_means(pre, mean, z)
     return mean_upd, log_w_partial, log_like

@@ -154,6 +154,26 @@ def merge_batch_dispatch(mean, cov, weight, active, cfg, out_cap):
                           out_cap, cfg.distance_metric)
 
 
+def topk_compact_indices(weight, active, cap):
+    """Scalar-only top-``cap``-by-weight lane selection.
+
+    The fast compaction path: run ``top_k`` over the [N] candidate *weights*
+    alone and let the caller gather means/covariances piecewise from their
+    small source tables — the O(N D^2) candidate covariance array is never
+    materialized (measured ~13 ms/step at P=512, N=8384 for the gather-based
+    :func:`compact_candidates`).
+
+    Returns (idx [cap], values [cap], sel_act [cap] bool, n_dropped_live).
+    """
+    live = active & (weight > 0)
+    w_act = jnp.where(live, weight, -1.0)
+    vals, idx = jax.lax.top_k(w_act, cap)
+    sel_act = vals > 0
+    n_live = jnp.sum(live.astype(jnp.int32))
+    n_dropped = jnp.maximum(n_live - cap, 0)
+    return idx, jnp.where(sel_act, vals, 0.0), sel_act, n_dropped
+
+
 def compact_candidates(mean, cov, weight, active, cap):
     """Top-``cap``-by-weight compaction of a candidate set (single particle).
 
