@@ -23,13 +23,19 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..ops.math import safe_log, sym, wrap_angle
+from ..ops.math import safe_log, wrap_angle
 from ..models.measurement import (detection_probability, measurement_jacobian,
                                   predict_measurement)
 
 
 class PreUpdate(NamedTuple):
-    """Per-feature EKF quantities (batched over K)."""
+    """Per-feature EKF quantities (batched over K).
+
+    2x2 quantities are carried BOTH as component planes (``s00``..``si11``,
+    fast TPU layout — elementwise [K] vectors) and as assembled arrays
+    (``S``/``S_inv``, kept for oracle tests and generic consumers; XLA
+    dead-code-eliminates whichever form a caller doesn't touch).
+    """
     r: jnp.ndarray          # [K] predicted range
     bearing: jnp.ndarray    # [K] predicted bearing
     pd: jnp.ndarray         # [K] detection probability
@@ -38,10 +44,24 @@ class PreUpdate(NamedTuple):
     det_S: jnp.ndarray      # [K]
     gain: jnp.ndarray       # [K, D, 2] Kalman gain
     cov_upd: jnp.ndarray    # [K, D, D] Joseph-form updated covariance
+    si00: jnp.ndarray       # [K] S^-1 component planes
+    si01: jnp.ndarray
+    si11: jnp.ndarray
 
 
 def ekf_preupdate(pose, mean, cov, cfg) -> PreUpdate:
-    """Compute measurement-independent EKF quantities for each feature."""
+    """Compute measurement-independent EKF quantities for each feature.
+
+    Everything runs as closed-form scalar arithmetic on [K] component
+    planes, mirroring the reference's Maple-generated kernels
+    (phdfilter.cu:335-364): XLA lowers batched tiny-matrix ``dot_general``s
+    to dilated convolutions on TPU (~1.7M cycles each at P=512, K=128 —
+    measured), and minor-dim transposes/slices of [K, 2, 2] tiles force
+    relayouts, so neither appears here. The Joseph-form covariance is built
+    from symmetric terms (P - EP - (EP)^T + E P E^T + K R K^T with
+    E = gain . H), which makes it symmetric by construction — no separate
+    symmetrization pass.
+    """
     dtype = mean.dtype
     D = mean.shape[-1]
     r, bearing, dx, dy, r2 = predict_measurement(pose, mean)
@@ -51,36 +71,69 @@ def ekf_preupdate(pose, mean, cov, cfg) -> PreUpdate:
     # and can coincide with the vehicle, and masked lanes must stay NaN-free.
     r_safe = jnp.maximum(r, 1e-6)
     r2_safe = jnp.maximum(r2, 1e-12)
-    J = measurement_jacobian(dx, dy, r_safe, r2_safe)  # [K, 2, 2]
-    # H = [J | 0] : [K, 2, D]
-    if D == 2:
-        H = J
-    else:
-        H = jnp.concatenate(
-            [J, jnp.zeros(J.shape[:-1] + (D - 2,), dtype=dtype)], axis=-1)
+    # Jacobian component planes (phdfilter.cu:320-325)
+    j00 = dx / r_safe
+    j01 = dy / r_safe
+    j10 = -dy / r2_safe
+    j11 = dx / r2_safe
 
-    R = jnp.array([[cfg.std_range ** 2, 0.0],
-                   [0.0, cfg.std_bearing ** 2]], dtype=dtype)
+    vr = cfg.std_range ** 2
+    vb = cfg.std_bearing ** 2
 
-    PHt = jnp.einsum("...ij,...kj->...ik", cov, H)   # [K, D, 2]
-    S = jnp.einsum("...ij,...jk->...ik", H, PHt) + R  # [K, 2, 2]
-    S = sym(S)                                        # ref enforces symmetry (:341-343)
-    det_S = S[..., 0, 0] * S[..., 1, 1] - S[..., 0, 1] * S[..., 1, 0]
-    S_inv = jnp.stack(
-        [jnp.stack([S[..., 1, 1], -S[..., 0, 1]], axis=-1),
-         jnp.stack([-S[..., 1, 0], S[..., 0, 0]], axis=-1)], axis=-2
-    ) / det_S[..., None, None]
+    # PHt = P H^T with H = [J | 0]: PHt[:, a, i] = P[a,0] J[i,0] + P[a,1] J[i,1]
+    p_a0 = cov[..., :, 0]                                   # [K, D]
+    p_a1 = cov[..., :, 1]
+    pht0 = p_a0 * j00[..., None] + p_a1 * j01[..., None]    # [K, D] (i = 0)
+    pht1 = p_a0 * j10[..., None] + p_a1 * j11[..., None]    # [K, D] (i = 1)
 
-    gain = jnp.einsum("...ij,...jk->...ik", PHt, S_inv)  # [K, D, 2]
+    # S = H PHt + R, symmetrized (ref enforces symmetry, :341-343)
+    s00 = j00 * pht0[..., 0] + j01 * pht0[..., 1] + vr
+    s11 = j10 * pht1[..., 0] + j11 * pht1[..., 1] + vb
+    s01 = 0.5 * ((j00 * pht1[..., 0] + j01 * pht1[..., 1])
+                 + (j10 * pht0[..., 0] + j11 * pht0[..., 1]))
+    det_S = s00 * s11 - s01 * s01
+    si00 = s11 / det_S
+    si01 = -s01 / det_S
+    si11 = s00 / det_S
 
-    # Joseph form: (I - K H) P (I - K H)' + K R K'  (phdfilter.cu:360-364)
-    I = jnp.eye(D, dtype=dtype)
-    IKH = I - jnp.einsum("...ij,...jk->...ik", gain, H)
-    cov_upd = jnp.einsum("...ij,...jk,...lk->...il", IKH, cov, IKH) \
-        + jnp.einsum("...ij,jk,...lk->...il", gain, R, gain)
+    # gain = PHt S^-1 : columns g0, g1 [K, D]
+    g0 = pht0 * si00[..., None] + pht1 * si01[..., None]
+    g1 = pht0 * si01[..., None] + pht1 * si11[..., None]
+
+    # Joseph form (phdfilter.cu:360-364). With E = gain.H (nonzero only in
+    # state columns 0..1, E[:, a, b] = kh{b}[a]):
+    #   cov_upd = P - EP - (EP)^T + E P E^T + gain R gain^T
+    # P is symmetric, so (EP)^T is built by swapping broadcast roles — no
+    # transpose op ever materializes.
+    kh0 = g0 * j00[..., None] + g1 * j10[..., None]         # [K, D] (b = 0)
+    kh1 = g0 * j01[..., None] + g1 * j11[..., None]         # [K, D] (b = 1)
+    p_0c = p_a0                                             # row 0 == col 0
+    p_1c = p_a1
+    ep = kh0[..., :, None] * p_0c[..., None, :] \
+        + kh1[..., :, None] * p_1c[..., None, :]            # [K, D, D]
+    ept = kh0[..., None, :] * p_0c[..., :, None] \
+        + kh1[..., None, :] * p_1c[..., :, None]
+    p00 = cov[..., 0, 0][..., None, None]
+    p01 = cov[..., 0, 1][..., None, None]
+    p11 = cov[..., 1, 1][..., None, None]
+    epe = (kh0[..., :, None] * kh0[..., None, :]) * p00 \
+        + (kh0[..., :, None] * kh1[..., None, :]
+           + kh1[..., :, None] * kh0[..., None, :]) * p01 \
+        + (kh1[..., :, None] * kh1[..., None, :]) * p11
+    grg = vr * (g0[..., :, None] * g0[..., None, :]) \
+        + vb * (g1[..., :, None] * g1[..., None, :])
+    cov_upd = cov - ep - ept + epe + grg
+
+    # assembled forms (DCE'd when a caller only touches the planes)
+    S = jnp.stack([jnp.stack([s00, s01], axis=-1),
+                   jnp.stack([s01, s11], axis=-1)], axis=-2)
+    S_inv = jnp.stack([jnp.stack([si00, si01], axis=-1),
+                       jnp.stack([si01, si11], axis=-1)], axis=-2)
+    gain = jnp.stack([g0, g1], axis=-1)                     # [K, D, 2]
 
     return PreUpdate(r=r, bearing=bearing, pd=pd, S=S, S_inv=S_inv,
-                     det_S=det_S, gain=gain, cov_upd=cov_upd)
+                     det_S=det_S, gain=gain, cov_upd=cov_upd,
+                     si00=si00, si01=si01, si11=si11)
 
 
 def ekf_detection_logw(pre: PreUpdate, weight, z, cfg):
@@ -101,12 +154,9 @@ def ekf_detection_logw(pre: PreUpdate, weight, z, cfg):
     innov_r = z[:, None, 0] - pre.r[None, :]                      # [M, K]
     innov_b = wrap_angle(z[:, None, 1] - pre.bearing[None, :])    # [M, K]
 
-    s00 = pre.S_inv[..., 0, 0][None, :]
-    s01 = pre.S_inv[..., 0, 1][None, :]
-    s10 = pre.S_inv[..., 1, 0][None, :]
-    s11 = pre.S_inv[..., 1, 1][None, :]
-    dist = (s00 * innov_r * innov_r + (s01 + s10) * innov_r * innov_b
-            + s11 * innov_b * innov_b)
+    dist = (pre.si00[None, :] * innov_r * innov_r
+            + 2.0 * pre.si01[None, :] * innov_r * innov_b
+            + pre.si11[None, :] * innov_b * innov_b)
     log_like = -0.5 * dist - jnp.log(2.0 * jnp.pi) \
         - 0.5 * safe_log(pre.det_S)[None, :]
     log_w_partial = safe_log(pre.pd)[None, :] + safe_log(weight)[None, :] \
@@ -125,12 +175,9 @@ def ekf_detection_linear(pre: PreUpdate, weight, z):
     """
     innov_r = z[:, None, 0] - pre.r[None, :]                      # [M, K]
     innov_b = wrap_angle(z[:, None, 1] - pre.bearing[None, :])    # [M, K]
-    s00 = pre.S_inv[..., 0, 0][None, :]
-    s01 = pre.S_inv[..., 0, 1][None, :]
-    s10 = pre.S_inv[..., 1, 0][None, :]
-    s11 = pre.S_inv[..., 1, 1][None, :]
-    dist = (s00 * innov_r * innov_r + (s01 + s10) * innov_r * innov_b
-            + s11 * innov_b * innov_b)
+    dist = (pre.si00[None, :] * innov_r * innov_r
+            + 2.0 * pre.si01[None, :] * innov_r * innov_b
+            + pre.si11[None, :] * innov_b * innov_b)
     # per-feature prefactor: pd * w / (2 pi sqrt(det S))
     pref = pre.pd * weight / (2.0 * jnp.pi
                               * jnp.sqrt(jnp.maximum(pre.det_S, 1e-30)))

@@ -48,8 +48,8 @@ def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation,
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (B, n_cand), 1)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (B, out_cap), 1)
 
-    def body(c, carry):
-        unmerged, ow, omx, omy, o00, o01, o11 = carry
+    def body(state):
+        c, unmerged, ow, omx, omy, o00, o01, o11 = state
         w_act = jnp.where(unmerged > 0.5, w, -1.0)
         imax = jnp.argmax(w_act, axis=-1)[:, None]            # [B, 1]
         has = (jnp.max(w_act, axis=-1) > 0.0)[:, None]        # [B, 1]
@@ -99,13 +99,21 @@ def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation,
         o11 = jnp.where(emit, m11, o11)
 
         unmerged = unmerged * (1.0 - self_f)
-        return (unmerged, ow, omx, omy, o00, o01, o11)
+        return (c + 1, unmerged, ow, omx, omy, o00, o01, o11)
+
+    def cond(state):
+        c, unmerged = state[0], state[1]
+        # early exit once every block particle's candidates are merged —
+        # the greedy loop typically emits far fewer than out_cap clusters
+        # (the reference's while(true) exits the same way,
+        # phdfilter.cu:2739-2747)
+        return (c < out_cap) & (jnp.max(unmerged) > 0.5)
 
     unmerged0 = act
     zk = jnp.zeros((B, out_cap), jnp.float32)
-    carry = (unmerged0, zk, zk, zk, zk, zk, zk)
-    unmerged, ow, omx, omy, o00, o01, o11 = jax.lax.fori_loop(
-        0, out_cap, body, carry)
+    state = (jnp.zeros((), jnp.int32), unmerged0, zk, zk, zk, zk, zk, zk)
+    _, unmerged, ow, omx, omy, o00, o01, o11 = jax.lax.while_loop(
+        cond, body, state)
 
     n_left = jnp.sum(unmerged, axis=-1, keepdims=True)        # [B, 1]
     out_ref[:, 0, :] = ow
