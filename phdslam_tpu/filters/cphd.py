@@ -234,8 +234,11 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
     near_m = cls == measurement.NEARLY_IN_RANGE
     out_m = (cls == measurement.OUT_OF_RANGE) & (weight > 0)
 
+    cap = cfg.merge_candidate_cap
+    use_fast = 0 < cap < (K + M * K)
+
     pre = ekf.ekf_preupdate(pose, mean, cov, cfg)
-    mean_det, logw_part, _ = ekf.ekf_detection_terms(pre, mean, weight, z, cfg)
+    logw_part, _ = ekf.ekf_detection_logw(pre, weight, z, cfg)
     det_valid = z_mask[:, None] & in_m[None, :]
     logw_part = jnp.where(det_valid, logw_part, LOG0)   # [M, K]
 
@@ -289,21 +292,32 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
     w_a = jnp.where(in_m, w_nd, jnp.where(near_m, weight, 0.0))
     act_b = det_valid & (w_det >= min_fw)
 
-    cand_mean = jnp.concatenate([mean, mean_det.reshape(M * K, D)], axis=0)
-    cand_cov = jnp.concatenate(
-        [cov,
-         jnp.broadcast_to(pre.cov_upd[None], (M, K, D, D)).reshape(M * K, D, D)],
-        axis=0)
     cand_w = jnp.concatenate([w_a, w_det.reshape(M * K)], axis=0)
     cand_act = jnp.concatenate([act_a, act_b.reshape(M * K)], axis=0)
 
-    eye = jnp.eye(D, dtype=dtype)
-    cand_mean = jnp.where(cand_act[:, None], cand_mean, 0.0)
-    cand_cov = jnp.where(cand_act[:, None, None], cand_cov, eye)
-    cand_w = jnp.where(cand_act, cand_w, 0.0)
-
-    cand_mean, cand_cov, cand_w, cand_act, n_compact = compact_candidates(
-        cand_mean, cand_cov, cand_w, cand_act, cfg.merge_candidate_cap)
+    if use_fast:
+        # scalar top-k + MXU one-hot row selection (see ops.ekf; avoids
+        # materializing the [M*K] detection mean/cov grids)
+        from ..ops.gm_merge import topk_compact_indices
+        idx, cand_w, cand_act, n_compact = topk_compact_indices(
+            cand_w, cand_act, cap)
+        cand_mean, cand_cov = ekf.select_compact_candidates(
+            idx, cand_act, mean, cov, pre, z)
+    else:
+        mean_det = ekf.ekf_detection_means(pre, mean, z)
+        cand_mean = jnp.concatenate([mean, mean_det.reshape(M * K, D)],
+                                    axis=0)
+        cand_cov = jnp.concatenate(
+            [cov,
+             jnp.broadcast_to(pre.cov_upd[None],
+                              (M, K, D, D)).reshape(M * K, D, D)],
+            axis=0)
+        eye = jnp.eye(D, dtype=dtype)
+        cand_mean = jnp.where(cand_act[:, None], cand_mean, 0.0)
+        cand_cov = jnp.where(cand_act[:, None, None], cand_cov, eye)
+        cand_w = jnp.where(cand_act, cand_w, 0.0)
+        cand_mean, cand_cov, cand_w, cand_act, n_compact = compact_candidates(
+            cand_mean, cand_cov, cand_w, cand_act, cap)
     return dict(cand=(cand_mean, cand_cov, cand_w, cand_act),
                 log_cn=log_cn_update, dlog_w=dlog_w, out_m=out_m,
                 n_compact=n_compact)
@@ -322,10 +336,12 @@ def _cphd_update_single_post(mg, pre_out, mean, cov, weight,
     all_cov = jnp.concatenate([mg_cov, cov], axis=0)
     all_w = jnp.concatenate([mg_w, jnp.where(out_m, weight, 0.0)], axis=0)
 
-    _, order = jax.lax.top_k(all_w, K)
-    new_mean = all_mean[order]
-    new_cov = all_cov[order]
-    new_w = all_w[order]
+    # one-hot matmul row moves (TPU gathers of tiny rows serialize)
+    new_w, order = jax.lax.top_k(all_w, K)
+    n_all = all_w.shape[0]
+    oh = (order[:, None] == jnp.arange(n_all)[None, :]).astype(mean.dtype)
+    new_mean = oh @ all_mean
+    new_cov = (oh @ all_cov.reshape(n_all, D * D)).reshape(K, D, D)
     empty = new_w <= 0
     new_cov = jnp.where(empty[:, None, None], eye, new_cov)
     new_mean = jnp.where(empty[:, None], 0.0, new_mean)

@@ -194,75 +194,19 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
     eye = jnp.eye(D, dtype=dtype)
     N = K + M * K + M
     if use_fast:
-        # FAST PATH: top-k over candidate *weights* only, then piecewise
-        # indexed gathers from the small source tables. Neither the
+        # FAST PATH: top-k over candidate *weights* only, then MXU one-hot
+        # row selection (ops.ekf.select_compact_candidates). Neither the
         # [N, D, D] candidate covariance (detection cov is shared per
         # feature, phdfilter.cu:1890-1894) nor the [M, K, D] mean grid is
-        # ever materialized — detection means are computed post-selection
-        # for the `cap` surviving lanes only.
+        # ever materialized.
         cand_w = jnp.concatenate([w_a, w_det.reshape(M * K), w_birth], axis=0)
         cand_act = jnp.concatenate([act_a, act_b.reshape(M * K), act_c],
                                    axis=0)
         from ..ops.gm_merge import topk_compact_indices
         idx, cand_w, sel_act, n_compact = topk_compact_indices(
             cand_w, cand_act, cap)
-
-        is_p = idx < K
-        is_d = (idx >= K) & (idx < K + M * K)
-        d_idx = jnp.clip(idx - K, 0, M * K - 1)
-        k_src = d_idx % K
-        m_src = d_idx // K
-        b_idx = jnp.clip(idx - K - M * K, 0, M - 1)
-        p_idx = jnp.clip(idx, 0, K - 1)
-
-        # Row selection as one-hot matmuls: TPU gathers of tiny rows
-        # serialize (measured ~13-16 ms per 512x512-row gather set at
-        # P=512), while a [cap, K] x [K, cols] one-hot product rides the
-        # MXU and — under the package-wide f32 "highest" matmul precision —
-        # is an exact row copy. All sources are small per-particle tables
-        # (K persistent rows, M measurement rows), so everything a
-        # surviving lane needs is fetched with two batched matmuls.
-        k_eff = jnp.where(is_d, k_src, p_idx)            # [cap] in [0, K)
-        m_eff = jnp.where(is_d, m_src, b_idx)            # [cap] in [0, M)
-        oh_k = (k_eff[:, None] == jnp.arange(K)[None, :]).astype(dtype)
-        oh_m = (m_eff[:, None] == jnp.arange(M)[None, :]).astype(dtype)
-
-        DD, G = D * D, D * 2
-        t_k = jnp.concatenate(
-            [mean, cov.reshape(K, DD), pre.cov_upd.reshape(K, DD),
-             pre.gain.reshape(K, G), pre.r[:, None], pre.bearing[:, None]],
-            axis=1)                                      # [K, 2D+2D^2+2D+2]
-        t_m = jnp.concatenate([z, b_mean, b_cov.reshape(M, DD)], axis=1)
-        r_k = oh_k @ t_k                                 # [cap, cols]
-        r_m = oh_m @ t_m
-
-        o = 0
-        mean_k = r_k[:, o:o + D]; o += D
-        cov_k = r_k[:, o:o + DD].reshape(cap, D, D); o += DD
-        cov_upd_k = r_k[:, o:o + DD].reshape(cap, D, D); o += DD
-        gain_k = r_k[:, o:o + G].reshape(cap, D, 2); o += G
-        range_k = r_k[:, o]; o += 1
-        bearing_k = r_k[:, o]
-        z_m = r_m[:, 0:2]
-        b_mean_m = r_m[:, 2:2 + D]
-        b_cov_m = r_m[:, 2 + D:2 + D + DD].reshape(cap, D, D)
-
-        from ..ops.math import wrap_angle
-        innov = jnp.stack(
-            [z_m[:, 0] - range_k,
-             wrap_angle(z_m[:, 1] - bearing_k)], axis=-1)  # [cap, 2]
-        mean_d = mean_k + jnp.einsum("cij,cj->ci", gain_k, innov)
-
-        sel_mean = jnp.where(
-            is_p[:, None], mean_k,
-            jnp.where(is_d[:, None], mean_d, b_mean_m))
-        sel_cov = jnp.where(
-            is_p[:, None, None], cov_k,
-            jnp.where(is_d[:, None, None], cov_upd_k, b_cov_m))
-        # sanitize empty lanes (padded births can be non-finite; 0 * NaN
-        # would poison the merge's masked reductions)
-        cand_mean = jnp.where(sel_act[:, None], sel_mean, 0.0)
-        cand_cov = jnp.where(sel_act[:, None, None], sel_cov, eye)
+        cand_mean, cand_cov = ekf.select_compact_candidates(
+            idx, sel_act, mean, cov, pre, z, b_mean, b_cov)
         cand_act = sel_act
         variance = None
     else:

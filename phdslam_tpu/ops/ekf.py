@@ -207,6 +207,92 @@ def ekf_detection_means_at(pre: PreUpdate, mean, z, m_src, k_src):
     return mean[k_src] + jnp.einsum("cij,cj->ci", pre.gain[k_src], innov)
 
 
+def select_compact_candidates(idx, sel_act, mean, cov, pre: PreUpdate, z,
+                              b_mean=None, b_cov=None):
+    """Gather the surviving merge-candidate lanes' means/covariances.
+
+    Lane layout: [K persistent | M*K detections | M births (optional)].
+    ``idx``/``sel_act`` come from a scalar weight top-k
+    (ops.gm_merge.topk_compact_indices). Returns (cand_mean [cap, D],
+    cand_cov [cap, D, D]) with empty lanes sanitized to (0, I).
+
+    Row selection runs as one-hot matmuls: TPU gathers of tiny rows
+    serialize (measured ~13-16 ms per 512x512-row gather set at P=512),
+    while a [cap, K] x [K, cols] one-hot product rides the MXU and — under
+    the package-wide f32 "highest" matmul precision — is an exact row copy.
+    All sources are small per-particle tables (K persistent rows, M
+    measurement rows), and detection means are computed post-selection for
+    the surviving lanes only, so neither the [M, K, D] mean grid nor any
+    [N, D, D] candidate covariance ever hits HBM.
+    """
+    K, D = mean.shape
+    M = z.shape[0]
+    cap = idx.shape[0]
+    dtype = mean.dtype
+    has_birth = b_mean is not None
+
+    is_p = idx < K
+    is_d = (idx >= K) & (idx < K + M * K)
+    d_idx = jnp.clip(idx - K, 0, M * K - 1)
+    k_src = d_idx % K
+    m_src = d_idx // K
+    p_idx = jnp.clip(idx, 0, K - 1)
+
+    k_eff = jnp.where(is_d, k_src, p_idx)            # [cap] in [0, K)
+    oh_k = (k_eff[:, None] == jnp.arange(K)[None, :]).astype(dtype)
+
+    DD, G = D * D, D * 2
+    t_k = jnp.concatenate(
+        [mean, cov.reshape(K, DD), pre.cov_upd.reshape(K, DD),
+         pre.gain.reshape(K, G), pre.r[:, None], pre.bearing[:, None]],
+        axis=1)
+    r_k = oh_k @ t_k                                 # [cap, cols]
+
+    o = 0
+    mean_k = r_k[:, o:o + D]; o += D
+    cov_k = r_k[:, o:o + DD].reshape(cap, D, D); o += DD
+    cov_upd_k = r_k[:, o:o + DD].reshape(cap, D, D); o += DD
+    gain_k = r_k[:, o:o + G].reshape(cap, D, 2); o += G
+    range_k = r_k[:, o]; o += 1
+    bearing_k = r_k[:, o]
+
+    if has_birth:
+        b_idx = jnp.clip(idx - K - M * K, 0, M - 1)
+        m_eff = jnp.where(is_d, m_src, b_idx)        # [cap] in [0, M)
+        t_m = jnp.concatenate([z, b_mean, b_cov.reshape(M, DD)], axis=1)
+    else:
+        m_eff = m_src
+        t_m = z
+    oh_m = (m_eff[:, None] == jnp.arange(M)[None, :]).astype(dtype)
+    r_m = oh_m @ t_m
+    z_m = r_m[:, 0:2]
+
+    innov_r = z_m[:, 0] - range_k
+    innov_b = wrap_angle(z_m[:, 1] - bearing_k)
+    # detection mean = mean_k + gain . innov (unrolled tiny contraction)
+    mean_d = mean_k + gain_k[:, :, 0] * innov_r[:, None] \
+        + gain_k[:, :, 1] * innov_b[:, None]
+
+    if has_birth:
+        b_mean_m = r_m[:, 2:2 + D]
+        b_cov_m = r_m[:, 2 + D:2 + D + DD].reshape(cap, D, D)
+        sel_mean = jnp.where(is_p[:, None], mean_k,
+                             jnp.where(is_d[:, None], mean_d, b_mean_m))
+        sel_cov = jnp.where(is_p[:, None, None], cov_k,
+                            jnp.where(is_d[:, None, None], cov_upd_k,
+                                      b_cov_m))
+    else:
+        sel_mean = jnp.where(is_p[:, None], mean_k, mean_d)
+        sel_cov = jnp.where(is_p[:, None, None], cov_k, cov_upd_k)
+
+    # sanitize empty lanes (padded births can be non-finite; 0 * NaN would
+    # poison the merge's masked reductions)
+    eye = jnp.eye(D, dtype=dtype)
+    cand_mean = jnp.where(sel_act[:, None], sel_mean, 0.0)
+    cand_cov = jnp.where(sel_act[:, None, None], sel_cov, eye)
+    return cand_mean, cand_cov
+
+
 def ekf_detection_terms(pre: PreUpdate, mean, weight, z, cfg):
     """Per-(measurement, feature) updated means and partial log-weights.
 

@@ -302,6 +302,7 @@ class SynthSLAMRunner:
         cfg = self.cfg
         os.makedirs(out_dir, exist_ok=True)
         T = len(res["est_poses"])
+        cns = res.get("cardinalities")
         for n in range(0, T, log_every):
             gm = (res["map_weights"][n], res["map_means"][n],
                   res["map_covs"][n])
@@ -310,7 +311,8 @@ class SynthSLAMRunner:
                 gm if cfg.feature_model == 0 else None,
                 gm if cfg.feature_model == 1 else None,
                 res["log_weights"][n], res["poses"][n],
-                res["resample_idx"][n], None,
+                res["resample_idx"][n],
+                cns[n] if cns is not None else None,
                 cfg.max_cardinality, cfg.filter_type)
         with open(os.path.join(out_dir, "loopTime.log"), "w") as fh:
             per_step = res["wall_s"] * 1000.0 / max(1, T)
@@ -388,7 +390,8 @@ class SynthSLAMRunner:
                     gm if cfg.feature_model == 0 else None,
                     gm if cfg.feature_model == 1 else None,
                     np.asarray(lw), np.asarray(poses), np.asarray(ridx),
-                    None, cfg.max_cardinality, cfg.filter_type)
+                    np.asarray(outs[n].cardinality),
+                    cfg.max_cardinality, cfg.filter_type)
             with open(os.path.join(out_dir, "loopTime.log"), "w") as fh:
                 per_step = wall * 1000.0 / max(1, len(outs))
                 fh.write("\n".join("%g" % per_step for _ in outs) + "\n")
