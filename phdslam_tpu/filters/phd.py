@@ -199,12 +199,58 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
         # [N, D, D] candidate covariance (detection cov is shared per
         # feature, phdfilter.cu:1890-1894) nor the [M, K, D] mean grid is
         # ever materialized.
-        cand_w = jnp.concatenate([w_a, w_det.reshape(M * K), w_birth], axis=0)
-        cand_act = jnp.concatenate([act_a, act_b.reshape(M * K), act_c],
-                                   axis=0)
         from ..ops.gm_merge import topk_compact_indices
-        idx, cand_w, sel_act, n_compact = topk_compact_indices(
-            cand_w, cand_act, cap)
+        T = cfg.detection_topk
+        if 0 < T < K:
+            # stage 1: per-measurement top-T detection lanes, via T unrolled
+            # argmax+mask sweeps over the K axis (vmap-friendly: pure
+            # elementwise + reductions; lax.top_k and batched gathers both
+            # lower poorly inside vmap — measured 3-4 ms each at P=512).
+            # argmax preserves per-measurement weight order (the global
+            # normalizer is a per-measurement constant), so the global pass
+            # sees exactly the lanes it would have ranked highest; live
+            # lanes beyond T are counted into the overflow diagnostic.
+            wd = jnp.where(det_valid, w_det, -1.0)          # [M, K]
+            k_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
+            vals_l, idx_l = [], []
+            for _ in range(T):
+                i = jnp.argmax(wd, axis=-1)                 # [M]
+                vals_l.append(jnp.max(wd, axis=-1))
+                idx_l.append(i.astype(jnp.int32))
+                wd = jnp.where(k_iota == i[:, None], -1.0, wd)
+            vals_d = jnp.stack(vals_l, axis=-1)             # [M, T]
+            idx_d = jnp.stack(idx_l, axis=-1)
+            flat_d = K + jnp.arange(M, dtype=jnp.int32)[:, None] * K + idx_d
+            act_sel = vals_d >= min_fw
+            vals_d = jnp.where(act_sel, vals_d, 0.0)
+            n_extra = jnp.sum(act_b.astype(jnp.int32)) \
+                - jnp.sum(act_sel.astype(jnp.int32))
+            red_w = jnp.concatenate([w_a, vals_d.reshape(M * T), w_birth],
+                                    axis=0)
+            red_act = jnp.concatenate([act_a, act_sel.reshape(M * T), act_c],
+                                      axis=0)
+            red_flat = jnp.concatenate(
+                [jnp.arange(K, dtype=jnp.float32),
+                 flat_d.reshape(M * T).astype(jnp.float32),
+                 K + M * K + jnp.arange(M, dtype=jnp.float32)], axis=0)
+            idx_red, cand_w, sel_act, n_compact = topk_compact_indices(
+                red_w, red_act, cap)
+            # reduced-lane -> full-lane index map as a one-hot reduction
+            # (lane ids < 2^24 are exact in f32; a vmapped take lowers to a
+            # serialized batched gather, measured 4 ms)
+            n_red = red_flat.shape[0]
+            oh_red = (idx_red[:, None]
+                      == jnp.arange(n_red, dtype=jnp.int32)[None, :])
+            idx = jnp.sum(jnp.where(oh_red, red_flat[None, :], 0.0),
+                          axis=-1).astype(jnp.int32)
+            n_compact = n_compact + n_extra
+        else:
+            cand_w = jnp.concatenate([w_a, w_det.reshape(M * K), w_birth],
+                                     axis=0)
+            cand_act = jnp.concatenate([act_a, act_b.reshape(M * K), act_c],
+                                       axis=0)
+            idx, cand_w, sel_act, n_compact = topk_compact_indices(
+                cand_w, cand_act, cap)
         cand_mean, cand_cov = ekf.select_compact_candidates(
             idx, sel_act, mean, cov, pre, z, b_mean, b_cov)
         cand_act = sel_act

@@ -28,14 +28,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation,
-                  block):
-    """Greedy merge for a BLOCK of particles at once.
+                  block, r_par):
+    """Greedy merge for a BLOCK of particles, R principals per iteration.
 
     All per-iteration work is [B, N]-shaped so the VPU's 8x128 lanes are
-    filled across particles, not just candidates; the fori_loop cost is
-    amortized over the block.
+    filled across particles, not just candidates. The per-cluster compute is
+    tiny (~200 cycles of VPU work) while the while-loop carries ~550 cycles
+    of control overhead per trip, so the kernel extracts ``r_par`` clusters
+    per trip — EXACTLY reproducing sequential greedy order:
+
+      * tentative principals = the R highest-weight unmerged candidates;
+      * tentative r is VALID iff no valid higher-weight principal lies
+        within ``min_separation`` of it (in true greedy such a principal
+        would have absorbed it first);
+      * each candidate joins the highest-weight valid principal that covers
+        it (in true greedy earlier clusters claim candidates first).
+
+    Induction on the true greedy sequence shows the valid principals and
+    their clusters match the sequential loop exactly.
     """
     B = block
+    R = r_par
     x = in_ref[:]                      # [B, 7, N]
     w = x[:, 0, :]                     # [B, N]
     act = x[:, 1, :]
@@ -50,68 +63,107 @@ def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation,
 
     def body(state):
         c, unmerged, ow, omx, omy, o00, o01, o11 = state
+
+        # --- R tentative principals in weight order ------------------------
         w_act = jnp.where(unmerged > 0.5, w, -1.0)
-        imax = jnp.argmax(w_act, axis=-1)[:, None]            # [B, 1]
-        has = (jnp.max(w_act, axis=-1) > 0.0)[:, None]        # [B, 1]
+        ohs, hass = [], []
+        pmx, pmy, p00, p01, p11 = [], [], [], [], []
+        for _ in range(R):
+            imax = jnp.argmax(w_act, axis=-1)[:, None]        # [B, 1]
+            hass.append((jnp.max(w_act, axis=-1) > 0.0)[:, None])
+            oh = (iota_n == imax)                             # [B, N] bool
+            ohf = oh.astype(jnp.float32)
+            ohs.append(oh)
+            # principal moments via one-hot reductions (no dynamic gather)
+            pmx.append(jnp.sum(ohf * mx, axis=-1, keepdims=True))
+            pmy.append(jnp.sum(ohf * my, axis=-1, keepdims=True))
+            p00.append(jnp.sum(ohf * c00, axis=-1, keepdims=True))
+            p01.append(jnp.sum(ohf * c01, axis=-1, keepdims=True))
+            p11.append(jnp.sum(ohf * c11, axis=-1, keepdims=True))
+            w_act = jnp.where(oh, -1.0, w_act)
 
-        oh = (iota_n == imax).astype(jnp.float32)             # [B, N]
-        # principal's moments via one-hot reductions (no dynamic gather)
-        pmx = jnp.sum(oh * mx, axis=-1, keepdims=True)
-        pmy = jnp.sum(oh * my, axis=-1, keepdims=True)
-        p00 = jnp.sum(oh * c00, axis=-1, keepdims=True)
-        p01 = jnp.sum(oh * c01, axis=-1, keepdims=True)
-        p11 = jnp.sum(oh * c11, axis=-1, keepdims=True)
+        # --- Mahalanobis^2 of every candidate to each principal ------------
+        # (averaged covariance, computeMahalDist device_math.cuh:308-363)
+        dists = []
+        for r in range(R):
+            s00 = 0.5 * (c00 + p00[r])
+            s01 = 0.5 * (c01 + p01[r])
+            s11 = 0.5 * (c11 + p11[r])
+            det = jnp.maximum(s00 * s11 - s01 * s01, 1e-30)
+            dx = pmx[r] - mx
+            dy = pmy[r] - my
+            dists.append(
+                (dx * dx * s11 - 2.0 * dx * dy * s01 + dy * dy * s00) / det)
 
-        # Mahalanobis^2 with averaged covariance (computeMahalDist,
-        # device_math.cuh:308-363)
-        s00 = 0.5 * (c00 + p00)
-        s01 = 0.5 * (c01 + p01)
-        s11 = 0.5 * (c11 + p11)
-        det = jnp.maximum(s00 * s11 - s01 * s01, 1e-30)
-        dx = pmx - mx
-        dy = pmy - my
-        dist = (dx * dx * s11 - 2.0 * dx * dy * s01 + dy * dy * s00) / det
+        # --- validity chain -------------------------------------------------
+        # valid[r]: not covered by any valid higher principal. Principal
+        # pair distances come straight from the extracted [B, 1] moments
+        # (same averaged-covariance formula, no full-width reductions).
+        valid = [hass[0]]
+        for r in range(1, R):
+            v = hass[r]
+            for s in range(r):
+                q00 = 0.5 * (p00[s] + p00[r])
+                q01 = 0.5 * (p01[s] + p01[r])
+                q11 = 0.5 * (p11[s] + p11[r])
+                qdet = jnp.maximum(q00 * q11 - q01 * q01, 1e-30)
+                qdx = pmx[s] - pmx[r]
+                qdy = pmy[s] - pmy[r]
+                d_sr = (qdx * qdx * q11 - 2.0 * qdx * qdy * q01
+                        + qdy * qdy * q00) / qdet             # [B, 1]
+                covered = valid[s] & (d_sr < min_separation)
+                v = v & ~covered
+            valid.append(v)
 
-        sel = ((unmerged > 0.5) & (dist < min_separation)) | (iota_n == imax)
-        sel = sel & (unmerged > 0.5) & has
-        self_f = sel.astype(jnp.float32)
+        # --- assignment + moment matching + emission ------------------------
+        unassigned = unmerged
+        n_emit = jnp.zeros((B, 1), jnp.int32)
+        for r in range(R):
+            slot = c + n_emit                                 # [B, 1]
+            can_emit = valid[r] & (slot < out_cap)
+            sel = (unassigned > 0.5) & ((dists[r] < min_separation) | ohs[r])
+            sel = sel & can_emit
+            self_f = sel.astype(jnp.float32)
 
-        sw = self_f * w
-        W = jnp.sum(sw, axis=-1, keepdims=True)               # [B, 1]
-        W_safe = jnp.maximum(W, 1e-30)
-        mu_x = jnp.sum(sw * mx, axis=-1, keepdims=True) / W_safe
-        mu_y = jnp.sum(sw * my, axis=-1, keepdims=True) / W_safe
-        ddx = mu_x - mx
-        ddy = mu_y - my
-        m00 = jnp.sum(sw * (c00 + ddx * ddx), axis=-1,
-                      keepdims=True) / W_safe
-        m01 = jnp.sum(sw * (c01 + ddx * ddy), axis=-1,
-                      keepdims=True) / W_safe
-        m11 = jnp.sum(sw * (c11 + ddy * ddy), axis=-1,
-                      keepdims=True) / W_safe
+            sw = self_f * w
+            W = jnp.sum(sw, axis=-1, keepdims=True)           # [B, 1]
+            W_safe = jnp.maximum(W, 1e-30)
+            mu_x = jnp.sum(sw * mx, axis=-1, keepdims=True) / W_safe
+            mu_y = jnp.sum(sw * my, axis=-1, keepdims=True) / W_safe
+            ddx = mu_x - mx
+            ddy = mu_y - my
+            m00 = jnp.sum(sw * (c00 + ddx * ddx), axis=-1,
+                          keepdims=True) / W_safe
+            m01 = jnp.sum(sw * (c01 + ddx * ddy), axis=-1,
+                          keepdims=True) / W_safe
+            m11 = jnp.sum(sw * (c11 + ddy * ddy), axis=-1,
+                          keepdims=True) / W_safe
 
-        emit = (iota_k == c) & has                            # [B, K]
-        ow = jnp.where(emit, W, ow)
-        omx = jnp.where(emit, mu_x, omx)
-        omy = jnp.where(emit, mu_y, omy)
-        o00 = jnp.where(emit, m00, o00)
-        o01 = jnp.where(emit, m01, o01)
-        o11 = jnp.where(emit, m11, o11)
+            emit = (iota_k == slot) & can_emit                # [B, K]
+            ow = jnp.where(emit, W, ow)
+            omx = jnp.where(emit, mu_x, omx)
+            omy = jnp.where(emit, mu_y, omy)
+            o00 = jnp.where(emit, m00, o00)
+            o01 = jnp.where(emit, m01, o01)
+            o11 = jnp.where(emit, m11, o11)
 
-        unmerged = unmerged * (1.0 - self_f)
-        return (c + 1, unmerged, ow, omx, omy, o00, o01, o11)
+            unassigned = unassigned * (1.0 - self_f)
+            n_emit = n_emit + can_emit.astype(jnp.int32)
+
+        return (c + n_emit, unassigned, ow, omx, omy, o00, o01, o11)
 
     def cond(state):
         c, unmerged = state[0], state[1]
-        # early exit once every block particle's candidates are merged —
-        # the greedy loop typically emits far fewer than out_cap clusters
-        # (the reference's while(true) exits the same way,
-        # phdfilter.cu:2739-2747)
-        return (c < out_cap) & (jnp.max(unmerged) > 0.5)
+        # early exit once every block particle's candidates are merged or its
+        # per-particle cluster budget is spent — the greedy loop typically
+        # emits far fewer than out_cap clusters (the reference's while(true)
+        # exits the same way, phdfilter.cu:2739-2747)
+        live = unmerged * (c < out_cap).astype(jnp.float32)
+        return jnp.max(live) > 0.5
 
     unmerged0 = act
     zk = jnp.zeros((B, out_cap), jnp.float32)
-    state = (jnp.zeros((), jnp.int32), unmerged0, zk, zk, zk, zk, zk, zk)
+    state = (jnp.zeros((B, 1), jnp.int32), unmerged0, zk, zk, zk, zk, zk, zk)
     _, unmerged, ow, omx, omy, o00, o01, o11 = jax.lax.while_loop(
         cond, body, state)
 
@@ -132,20 +184,20 @@ def pallas_available() -> bool:
 
 
 def gm_merge_pallas_one(mean, cov, weight, active, min_separation, out_cap,
-                        interpret=False):
+                        interpret=False, r_par=8):
     """Single-particle variant (mean [N, 2], ...) — vmap-able drop-in for
     ops.gm_merge.gm_merge. Returns (mean[K,2], cov[K,2,2], w[K], n_merged,
     n_dropped)."""
     om, oc, ow, nm, nd = gm_merge_pallas_batch(
         mean[None], cov[None], weight[None], active[None],
-        min_separation, out_cap, interpret)
+        min_separation, out_cap, interpret, r_par)
     return om[0], oc[0], ow[0], nm[0], nd[0]
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
-                                             "interpret"))
+                                             "interpret", "r_par"))
 def gm_merge_pallas_batch(mean, cov, weight, active, min_separation,
-                          out_cap, interpret=False):
+                          out_cap, interpret=False, r_par=8):
     """Drop-in replacement for gm_merge_batch (D == 2, Mahalanobis).
 
     mean [P, N, 2], cov [P, N, 2, 2], weight [P, N], active [P, N] ->
@@ -170,7 +222,8 @@ def gm_merge_pallas_batch(mean, cov, weight, active, min_separation,
 
     out = pl.pallas_call(
         functools.partial(_merge_kernel, n_cand=N, out_cap=out_cap,
-                          min_separation=float(min_separation), block=B),
+                          min_separation=float(min_separation), block=B,
+                          r_par=max(1, r_par)),
         out_shape=jax.ShapeDtypeStruct((P_pad, 8, out_cap), jnp.float32),
         grid=(P_pad // B,),
         in_specs=[pl.BlockSpec((B, 7, N), lambda p: (p, 0, 0),
