@@ -151,10 +151,18 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
         log_like = None
         pdw = ekf.ekf_detection_linear(pre, weight, z)
         pdw = jnp.where(det_valid, pdw, 0.0)
+        # materialize once: pdw feeds the normalizer, the top-T sweeps and
+        # the live-lane count; without the barrier XLA rematerializes the
+        # exp chain into each consumer (measured 2.5x slower)
+        pdw = jax.lax.optimization_barrier(pdw)
         norm = jnp.sum(pdw, axis=1) + cfg.clutter_density \
             + cfg.birth_weight                                  # [M]
         log_norm = jnp.log(norm)
-        w_det = pdw / norm[:, None]
+        # the normalized [M, K] detection grid w_det = pdw / norm is never
+        # materialized on the fast path: per-measurement order equals pdw's
+        # (norm is a per-measurement constant), so selection, thresholding
+        # and sums all run on pdw and only survivors are normalized
+        w_det = None
         w_birth = jnp.where(z_mask, cfg.birth_weight / norm, 0.0)
 
     # non-detection terms (linear weights, phdfilter.cu:2136-2141)
@@ -177,7 +185,9 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
     else:
         # Vo empty-map weighting (:2264-2280)
         cn_predict = jnp.sum(jnp.where(in_m, weight, 0.0))
-        cn_update = jnp.sum(w_nd) + jnp.sum(w_det) + jnp.sum(w_birth)
+        cn_det = (jnp.sum(jnp.sum(pdw, axis=1) / norm) if w_det is None
+                  else jnp.sum(w_det))
+        cn_update = jnp.sum(w_nd) + cn_det + jnp.sum(w_birth)
         dlog_w = n_valid_z * cfg.clutter_density + cn_update - cn_predict \
             - cfg.clutter_rate
 
@@ -187,7 +197,15 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
     min_fw = cfg.min_feature_weight
     act_a = (in_m & (w_nd >= min_fw)) | near_m
     w_a = jnp.where(in_m, w_nd, jnp.where(near_m, weight, 0.0))
-    act_b = det_valid & (w_det >= min_fw)
+    if w_det is None:
+        # fast path: threshold pdw directly (w_det >= min_fw <=> pdw >=
+        # min_fw * norm); only the live-lane COUNT is needed downstream
+        act_b = None
+        n_act_b = jnp.sum((det_valid
+                           & (pdw >= min_fw * norm[:, None])).astype(
+                               jnp.int32))
+    else:
+        act_b = det_valid & (w_det >= min_fw)
     act_c = z_mask & (w_birth >= min_fw)
 
     # merge candidate set: lane layout [K persistent | M*K detections | M births]
@@ -202,53 +220,75 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
         from ..ops.gm_merge import topk_compact_indices
         T = cfg.detection_topk
         if 0 < T < K:
-            # stage 1: per-measurement top-T detection lanes, via T unrolled
-            # argmax+mask sweeps over the K axis (vmap-friendly: pure
-            # elementwise + reductions; lax.top_k and batched gathers both
-            # lower poorly inside vmap — measured 3-4 ms each at P=512).
-            # argmax preserves per-measurement weight order (the global
-            # normalizer is a per-measurement constant), so the global pass
-            # sees exactly the lanes it would have ranked highest; live
-            # lanes beyond T are counted into the overflow diagnostic.
-            wd = jnp.where(det_valid, w_det, -1.0)          # [M, K]
-            k_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
-            vals_l, idx_l = [], []
-            for _ in range(T):
-                i = jnp.argmax(wd, axis=-1)                 # [M]
-                vals_l.append(jnp.max(wd, axis=-1))
-                idx_l.append(i.astype(jnp.int32))
-                wd = jnp.where(k_iota == i[:, None], -1.0, wd)
-            vals_d = jnp.stack(vals_l, axis=-1)             # [M, T]
-            idx_d = jnp.stack(idx_l, axis=-1)
+            # stage 1: the T HEAVIEST live detection lanes per measurement,
+            # in two tiers, all on the UNNORMALIZED pdw grid (w_det >=
+            # min_fw <=> pdw >= min_fw * norm; norm is a per-measurement
+            # constant so pdw order == w_det order).
+            #
+            # Tier A — threshold + rank compaction: the first T2 = 2T live
+            # lanes in index order, via one cumsum and one fused one-hot
+            # reduce. Exact (complete live set) whenever a measurement has
+            # <= T2 live lanes — the common case at reference thresholds is
+            # ~1-4 gated features per measurement. Iterative argmax sweeps
+            # and lax.top_k on the full [M, K] grid both cost 16 passes
+            # (measured 30 ms at P=10240 vs ~0.2 ms for this).
+            #
+            # Tier B — heaviest-T via argmax sweeps on the small [M, T2]
+            # grid, restoring the reference's keep-the-heaviest behavior
+            # (index-order drops alone measured 0.82 m vs 0.48 m ATE).
+            T2 = min(K, 2 * T)
+            live = pdw >= min_fw * norm[:, None]            # [M, K]
+            rank = jnp.cumsum(live.astype(jnp.int32), axis=-1)
+            slot = jnp.where(live, rank - 1, T2)            # [M, K] in [0,T2]
+            oh_t = (slot[..., None]
+                    == jnp.arange(T2, dtype=jnp.int32)[None, None, :])
+            ohf = oh_t.astype(dtype)                        # [M, K, T2]
+            vals2 = jnp.einsum("mkt,mk->mt", ohf, pdw)      # [M, T2]
+            idx2 = jnp.einsum("mkt,k->mt", ohf,
+                              jnp.arange(K, dtype=dtype))   # [M, T2] (f32)
+            count = rank[:, -1]                             # [M] live lanes
+            in_t2 = (jnp.arange(T2, dtype=jnp.int32)[None, :]
+                     < count[:, None])
+            neg2 = jnp.where(in_t2, -vals2, 1.0)
+            _, vals_s, idx_s = jax.lax.sort(
+                (neg2, jnp.where(in_t2, vals2, 0.0), idx2), num_keys=1,
+                dimension=-1)
+            vals_d = vals_s[:, :T]                          # [M, T]
+            idx_d = idx_s[:, :T].astype(jnp.int32)
             flat_d = K + jnp.arange(M, dtype=jnp.int32)[:, None] * K + idx_d
-            act_sel = vals_d >= min_fw
-            vals_d = jnp.where(act_sel, vals_d, 0.0)
-            n_extra = jnp.sum(act_b.astype(jnp.int32)) \
-                - jnp.sum(act_sel.astype(jnp.int32))
-            red_w = jnp.concatenate([w_a, vals_d.reshape(M * T), w_birth],
+            w_sel = vals_d / norm[:, None]                  # [M, T]
+            act_sel = vals_d > 0
+            w_sel = jnp.where(act_sel, w_sel, 0.0)
+            n_extra = n_act_b - jnp.sum(act_sel.astype(jnp.int32))
+            red_w = jnp.concatenate([w_a, w_sel.reshape(M * T), w_birth],
                                     axis=0)
             red_act = jnp.concatenate([act_a, act_sel.reshape(M * T), act_c],
                                       axis=0)
             red_flat = jnp.concatenate(
-                [jnp.arange(K, dtype=jnp.float32),
-                 flat_d.reshape(M * T).astype(jnp.float32),
-                 K + M * K + jnp.arange(M, dtype=jnp.float32)], axis=0)
-            idx_red, cand_w, sel_act, n_compact = topk_compact_indices(
-                red_w, red_act, cap)
-            # reduced-lane -> full-lane index map as a one-hot reduction
-            # (lane ids < 2^24 are exact in f32; a vmapped take lowers to a
-            # serialized batched gather, measured 4 ms)
-            n_red = red_flat.shape[0]
-            oh_red = (idx_red[:, None]
-                      == jnp.arange(n_red, dtype=jnp.int32)[None, :])
-            idx = jnp.sum(jnp.where(oh_red, red_flat[None, :], 0.0),
-                          axis=-1).astype(jnp.int32)
-            n_compact = n_compact + n_extra
+                [jnp.arange(K, dtype=jnp.int32),
+                 flat_d.reshape(M * T),
+                 K + M * K + jnp.arange(M, dtype=jnp.int32)], axis=0)
+            # stage 2: top-cap by weight via ONE payload-carrying sort —
+            # top_k lowers to a full sort anyway at cap ~ N/2, and carrying
+            # the full-lane id through the sort replaces a separate one-hot
+            # index map (measured 14 ms at P=10240). Ascending sort on -w is
+            # stable, so ties break by lane index exactly like lax.top_k.
+            live = red_act & (red_w > 0)
+            neg_w = jnp.where(live, -red_w, 1.0)
+            _, cand_w, idx = jax.lax.sort(
+                (neg_w, jnp.where(live, red_w, 0.0), red_flat), num_keys=1)
+            cand_w = cand_w[:cap]
+            idx = idx[:cap]
+            sel_act = cand_w > 0
+            n_live = jnp.sum(live.astype(jnp.int32))
+            n_compact = jnp.maximum(n_live - cap, 0) + n_extra
         else:
-            cand_w = jnp.concatenate([w_a, w_det.reshape(M * K), w_birth],
-                                     axis=0)
-            cand_act = jnp.concatenate([act_a, act_b.reshape(M * K), act_c],
-                                       axis=0)
+            w_det_full = pdw / norm[:, None]
+            act_b_full = det_valid & (w_det_full >= min_fw)
+            cand_w = jnp.concatenate(
+                [w_a, w_det_full.reshape(M * K), w_birth], axis=0)
+            cand_act = jnp.concatenate(
+                [act_a, act_b_full.reshape(M * K), act_c], axis=0)
             idx, cand_w, sel_act, n_compact = topk_compact_indices(
                 cand_w, cand_act, cap)
         cand_mean, cand_cov = ekf.select_compact_candidates(
