@@ -249,11 +249,13 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
             count = rank[:, -1]                             # [M] live lanes
             in_t2 = (jnp.arange(T2, dtype=jnp.int32)[None, :]
                      < count[:, None])
+            # sort on the negated key and reconstruct values from it (exact
+            # in f32) — every extra payload operand adds a full data lane to
+            # the variadic sort network
             neg2 = jnp.where(in_t2, -vals2, 1.0)
-            _, vals_s, idx_s = jax.lax.sort(
-                (neg2, jnp.where(in_t2, vals2, 0.0), idx2), num_keys=1,
-                dimension=-1)
-            vals_d = vals_s[:, :T]                          # [M, T]
+            neg_s, idx_s = jax.lax.sort((neg2, idx2), num_keys=1,
+                                        dimension=-1)
+            vals_d = jnp.maximum(-neg_s[:, :T], 0.0)        # [M, T]
             idx_d = idx_s[:, :T].astype(jnp.int32)
             flat_d = K + jnp.arange(M, dtype=jnp.int32)[:, None] * K + idx_d
             w_sel = vals_d / norm[:, None]                  # [M, T]
@@ -275,11 +277,10 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
             # stable, so ties break by lane index exactly like lax.top_k.
             live = red_act & (red_w > 0)
             neg_w = jnp.where(live, -red_w, 1.0)
-            _, cand_w, idx = jax.lax.sort(
-                (neg_w, jnp.where(live, red_w, 0.0), red_flat), num_keys=1)
-            cand_w = cand_w[:cap]
+            neg_s, idx = jax.lax.sort((neg_w, red_flat), num_keys=1)
+            cand_w = jnp.maximum(-neg_s[:cap], 0.0)
             idx = idx[:cap]
-            sel_act = cand_w > 0
+            sel_act = neg_s[:cap] < 0
             n_live = jnp.sum(live.astype(jnp.int32))
             n_compact = jnp.maximum(n_live - cap, 0) + n_extra
         else:

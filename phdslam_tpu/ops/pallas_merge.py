@@ -214,7 +214,9 @@ def gm_merge_pallas_batch(mean, cov, weight, active, min_separation,
     # Particle-block vectorization: fill the VPU's sublanes with 8 particles
     # per program instead of one. Pad P up to a block multiple with inert
     # (act = 0) particles.
-    B = 8 if P >= 8 else P
+    import os
+    B = int(os.environ.get("PHDSLAM_MERGE_BLOCK", "8"))
+    B = B if P >= B else P
     P_pad = ((P + B - 1) // B) * B
     if P_pad != P:
         packed = jnp.concatenate(
