@@ -472,10 +472,18 @@ def extract(state: FilterState, cfg: SlamConfig):
         from .extras import eap_expected_map
         mean, cov, weight = eap_expected_map(gm, state.log_weight, cfg)
         return expected_pose, (mean, cov, weight)
-    # MAP map = argmax-weight particle's map (mapEstimate bit 0, :344-361)
+    # MAP map = argmax-weight particle's map (mapEstimate bit 0, :344-361).
+    # One-hot contraction over the particle axis instead of a dynamic-index
+    # gather: under SPMD a gather all-gathers the FULL [P,K,D,D] map state
+    # (4.7 MB/step measured on an 8-device mesh) while the contraction
+    # psums one [K,D,D] map (~3 KB); single-chip it avoids a gather too.
     max_idx = jnp.argmax(state.log_weight)
-    return expected_pose, (gm.mean[max_idx], gm.cov[max_idx],
-                           gm.weight[max_idx])
+    oh = (jnp.arange(state.log_weight.shape[0]) == max_idx).astype(
+        gm.mean.dtype)
+    mm = jnp.einsum("p,pkd->kd", oh, gm.mean)
+    mc = jnp.einsum("p,pkab->kab", oh, gm.cov)
+    mw = jnp.einsum("p,pk->k", oh, gm.weight)
+    return expected_pose, (mm, mc, mw)
 
 
 def _gather_particles(state: FilterState, idx) -> FilterState:
@@ -503,14 +511,22 @@ def maybe_resample(state: FilterState, has_measurements, cfg: SlamConfig,
 
     ancestors = systematic_ancestors(state.log_weight, key, P)
     identity = jnp.arange(P, dtype=jnp.int32)
-    idx = jnp.where(do_resample, ancestors, identity)
 
-    state = _gather_particles(state, idx)
-    log_w = jnp.where(
-        do_resample,
-        jnp.full((P,), -jnp.log(float(P)), dtype=state.log_weight.dtype),
-        state.log_weight)
-    state = state.replace(log_weight=log_w, resample_idx=idx)
+    # the gather only runs on resample steps: under jit+NamedSharding the
+    # cross-particle gather lowers to an all-gather of the ENTIRE map state
+    # (measured 15.8 MB/step on an 8-device mesh), and even single-chip it
+    # is ~1 ms of HBM traffic — lax.cond skips it when nEff is healthy
+    def _do(st):
+        st = _gather_particles(st, ancestors)
+        return st.replace(
+            log_weight=jnp.full((P,), -jnp.log(float(P)),
+                                dtype=st.log_weight.dtype),
+            resample_idx=ancestors)
+
+    def _skip(st):
+        return st.replace(resample_idx=identity)
+
+    state = jax.lax.cond(do_resample, _do, _skip, state)
     return state, n_eff, do_resample
 
 
@@ -583,10 +599,12 @@ def phd_step(state: FilterState, z, z_mask, control, dt, do_predict,
     state = state.replace(step=state.step + 1)
 
     # cn_estimate = MAP particle's cardinality (recoverSlamState,
-    # main.cpp:344-361)
+    # main.cpp:344-361) — one-hot contraction for the same reason as the
+    # MAP-map extraction in :func:`extract`
     if state.cardinality is not None:
-        cn = jnp.take(state.cardinality, jnp.argmax(state.log_weight),
-                      axis=0)
+        ohc = (jnp.arange(state.log_weight.shape[0])
+               == jnp.argmax(state.log_weight)).astype(state.pose.dtype)
+        cn = jnp.einsum("p,pc->c", ohc, state.cardinality)
     else:
         cn = jnp.zeros((1,), state.pose.dtype)
     out = StepOutputs(expected_pose=expected_pose, map_mean=mm, map_cov=mc,

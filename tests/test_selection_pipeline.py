@@ -1,0 +1,87 @@
+"""Candidate-selection pipeline equivalence (filters/phd.py fast path).
+
+The two-stage selection (tier-A rank compaction -> tier-B heaviest-T ->
+global top-cap payload sort) must produce the same update results as the
+single-stage top-cap over all K*(M+1)+M lanes whenever no live lanes are
+dropped, and must account every dropped live lane in the overflow output.
+"""
+
+import copy
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from phdslam_tpu.config import SlamConfig
+from phdslam_tpu.filters.phd import _batched_update
+
+
+def make_cfg(**kw):
+    base = dict(std_range=0.25, std_bearing=0.02, max_range=12.0,
+                max_bearing=np.pi, min_range=0.0, pd=0.9,
+                clutter_rate=5.0, birth_weight=0.01, birth_noise_factor=1.5,
+                min_separation=4.0, min_feature_weight=1e-5,
+                particle_weighting=0, max_features=32, feature_model=0,
+                max_measurements=8, merge_candidate_cap=128,
+                pallas_merge=0)
+    base.update(kw)
+    return SlamConfig(**base)
+
+
+def random_batch(seed, P=4, K=32, M=8, n_live_z=5):
+    rng = np.random.default_rng(seed)
+    pose = np.zeros((P, 6), np.float32)
+    pose[:, :2] = rng.normal(0, 0.2, (P, 2))
+    mean = rng.uniform(-8, 8, (P, K, 2)).astype(np.float32)
+    A = rng.normal(0, 0.3, (P, K, 2, 2)).astype(np.float32)
+    cov = A @ A.transpose(0, 1, 3, 2) + 0.05 * np.eye(2, dtype=np.float32)
+    w = np.where(rng.uniform(size=(P, K)) < 0.6,
+                 rng.uniform(0.1, 1.0, (P, K)), 0.0).astype(np.float32)
+    z = np.column_stack([rng.uniform(1, 10, M),
+                         rng.uniform(-np.pi, np.pi, M)]).astype(np.float32)
+    z_mask = np.arange(M) < n_live_z
+    return (jnp.asarray(pose), jnp.asarray(mean), jnp.asarray(cov),
+            jnp.asarray(w), jnp.asarray(z), jnp.asarray(z_mask))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_two_stage_matches_single_stage(seed):
+    cfg = make_cfg(detection_topk=8)
+    cfg0 = copy.deepcopy(cfg)
+    cfg0.detection_topk = 0
+    pose, mean, cov, w, z, zm = random_batch(seed)
+    out_a = _batched_update(pose, mean, cov, w, z, zm, cfg)
+    out_b = _batched_update(pose, mean, cov, w, z, zm, cfg0)
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_stage1_drops_are_counted():
+    # tiny T forces per-measurement drops of live lanes; they must appear
+    # in the overflow output rather than vanish
+    cfg = make_cfg(detection_topk=2)
+    cfg0 = copy.deepcopy(cfg)
+    cfg0.detection_topk = 0
+    pose, mean, cov, w, z, zm = random_batch(3)
+    out_t = _batched_update(pose, mean, cov, w, z, zm, cfg)
+    out_f = _batched_update(pose, mean, cov, w, z, zm, cfg0)
+    # overflow (index 4) with tiny T >= overflow without stage 1
+    assert int(jnp.max(out_t[4])) >= int(jnp.max(out_f[4]))
+    # total post-merge weight should not GAIN from dropping lanes
+    assert float(jnp.sum(out_t[2])) <= float(jnp.sum(out_f[2])) + 1e-4
+
+
+def test_stage2_cap_drops_lowest_weight():
+    # cap smaller than the live candidate count: the kept lanes must be the
+    # heaviest ones, so the total retained weight beats any index-order cut
+    cfg = make_cfg(detection_topk=8, merge_candidate_cap=24)
+    cfg0 = make_cfg(detection_topk=8, merge_candidate_cap=0)
+    pose, mean, cov, w, z, zm = random_batch(4)
+    out_c = _batched_update(pose, mean, cov, w, z, zm, cfg)
+    out_f = _batched_update(pose, mean, cov, w, z, zm, cfg0)
+    assert int(jnp.max(out_c[4])) > 0          # drops happened and were counted
+    # retained maps still carry most of the uncapped total weight
+    frac = float(jnp.sum(out_c[2])) / max(float(jnp.sum(out_f[2])), 1e-9)
+    assert frac > 0.85
