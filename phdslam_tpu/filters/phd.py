@@ -354,10 +354,18 @@ def _update_single_post(mg, pre_out, mean, cov, weight, cfg: SlamConfig):
 
     # top-K compaction by weight (overflow -> lowest-weight drop; the
     # reference has no capacity, so surface overflow for diagnostics).
+    # 2-operand payload sort instead of lax.top_k: TopK lowers to a
+    # custom-call the SPMD partitioner cannot split along the (sharded)
+    # particle axis — it all-gathered the [P, K+cap] operand (1 MB/step on
+    # an 8-device mesh); variadic sort along the lane axis partitions
+    # trivially. Stable ascending sort on -w ties by index like top_k.
     # Row moves ride the MXU as an exact one-hot matmul (see the fast-path
     # note in _update_single_pre: TPU gathers of tiny rows serialize).
-    new_w, order = jax.lax.top_k(all_w, K)
     n_all = all_w.shape[0]
+    neg_s, order = jax.lax.sort(
+        (-all_w, jnp.arange(n_all, dtype=jnp.int32)), num_keys=1)
+    new_w = jnp.maximum(-neg_s[:K], 0.0)
+    order = order[:K]
     oh = (order[:, None] == jnp.arange(n_all)[None, :]).astype(dtype)
     new_mean = oh @ all_mean
     new_cov = (oh @ all_cov.reshape(n_all, D * D)).reshape(K, D, D)
