@@ -295,7 +295,29 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
     cand_w = jnp.concatenate([w_a, w_det.reshape(M * K)], axis=0)
     cand_act = jnp.concatenate([act_a, act_b.reshape(M * K)], axis=0)
 
-    if use_fast:
+    T = cfg.detection_topk
+    if use_fast and 0 < T < K:
+        # two-stage selection + MXU one-hot row selection, exactly as the
+        # PHD fast path (see ops.gm_merge.select_live_topT / topcap_sort
+        # and BENCH.md): heaviest-T live detection lanes per measurement,
+        # then one global top-cap payload sort carrying full-lane ids.
+        from ..ops.gm_merge import select_live_topT, topcap_sort
+        wd = jnp.where(det_valid, w_det, 0.0)
+        vals_d, idx_d, n_live_d, n_kept_d = select_live_topT(
+            wd, jnp.full((M,), min_fw, dtype=dtype), T)
+        flat_d = K + jnp.arange(M, dtype=jnp.int32)[:, None] * K + idx_d
+        act_sel = vals_d > 0
+        red_w = jnp.concatenate([w_a, jnp.where(act_sel, vals_d, 0.0)
+                                 .reshape(M * T)], axis=0)
+        red_act = jnp.concatenate([act_a, act_sel.reshape(M * T)], axis=0)
+        red_flat = jnp.concatenate(
+            [jnp.arange(K, dtype=jnp.int32), flat_d.reshape(M * T)], axis=0)
+        idx, cand_w, cand_act, n_drop = topcap_sort(
+            red_w, red_act, red_flat, cap)
+        n_compact = n_drop + (n_live_d - n_kept_d)
+        cand_mean, cand_cov = ekf.select_compact_candidates(
+            idx, cand_act, mean, cov, pre, z)
+    elif use_fast:
         # scalar top-k + MXU one-hot row selection (see ops.ekf; avoids
         # materializing the [M*K] detection mean/cov grids)
         from ..ops.gm_merge import topk_compact_indices

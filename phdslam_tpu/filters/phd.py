@@ -198,12 +198,9 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
     act_a = (in_m & (w_nd >= min_fw)) | near_m
     w_a = jnp.where(in_m, w_nd, jnp.where(near_m, weight, 0.0))
     if w_det is None:
-        # fast path: threshold pdw directly (w_det >= min_fw <=> pdw >=
-        # min_fw * norm); only the live-lane COUNT is needed downstream
+        # fast path: stage-1 selection thresholds pdw directly
+        # (w_det >= min_fw <=> pdw >= min_fw * norm) and counts live lanes
         act_b = None
-        n_act_b = jnp.sum((det_valid
-                           & (pdw >= min_fw * norm[:, None])).astype(
-                               jnp.int32))
     else:
         act_b = det_valid & (w_det >= min_fw)
     act_c = z_mask & (w_birth >= min_fw)
@@ -220,48 +217,19 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
         from ..ops.gm_merge import topk_compact_indices
         T = cfg.detection_topk
         if 0 < T < K:
-            # stage 1: the T HEAVIEST live detection lanes per measurement,
-            # in two tiers, all on the UNNORMALIZED pdw grid (w_det >=
-            # min_fw <=> pdw >= min_fw * norm; norm is a per-measurement
-            # constant so pdw order == w_det order).
-            #
-            # Tier A — threshold + rank compaction: the first T2 = 2T live
-            # lanes in index order, via one cumsum and one fused one-hot
-            # reduce. Exact (complete live set) whenever a measurement has
-            # <= T2 live lanes — the common case at reference thresholds is
-            # ~1-4 gated features per measurement. Iterative argmax sweeps
-            # and lax.top_k on the full [M, K] grid both cost 16 passes
-            # (measured 30 ms at P=10240 vs ~0.2 ms for this).
-            #
-            # Tier B — heaviest-T via argmax sweeps on the small [M, T2]
-            # grid, restoring the reference's keep-the-heaviest behavior
-            # (index-order drops alone measured 0.82 m vs 0.48 m ATE).
-            T2 = min(K, 2 * T)
-            live = pdw >= min_fw * norm[:, None]            # [M, K]
-            rank = jnp.cumsum(live.astype(jnp.int32), axis=-1)
-            slot = jnp.where(live, rank - 1, T2)            # [M, K] in [0,T2]
-            oh_t = (slot[..., None]
-                    == jnp.arange(T2, dtype=jnp.int32)[None, None, :])
-            ohf = oh_t.astype(dtype)                        # [M, K, T2]
-            vals2 = jnp.einsum("mkt,mk->mt", ohf, pdw)      # [M, T2]
-            idx2 = jnp.einsum("mkt,k->mt", ohf,
-                              jnp.arange(K, dtype=dtype))   # [M, T2] (f32)
-            count = rank[:, -1]                             # [M] live lanes
-            in_t2 = (jnp.arange(T2, dtype=jnp.int32)[None, :]
-                     < count[:, None])
-            # sort on the negated key and reconstruct values from it (exact
-            # in f32) — every extra payload operand adds a full data lane to
-            # the variadic sort network
-            neg2 = jnp.where(in_t2, -vals2, 1.0)
-            neg_s, idx_s = jax.lax.sort((neg2, idx2), num_keys=1,
-                                        dimension=-1)
-            vals_d = jnp.maximum(-neg_s[:, :T], 0.0)        # [M, T]
-            idx_d = idx_s[:, :T].astype(jnp.int32)
+            # stage 1: the T HEAVIEST live detection lanes per measurement
+            # (ops.gm_merge.select_live_topT), on the UNNORMALIZED pdw grid
+            # — w_det >= min_fw <=> pdw >= min_fw * norm, and norm is a
+            # per-measurement constant so pdw order == w_det order.
+            # Keep-the-heaviest matters: index-order drops at T=16 measured
+            # 0.82 m ATE vs 0.48 m.
+            from ..ops.gm_merge import select_live_topT, topcap_sort
+            vals_d, idx_d, n_live_d, n_kept_d = select_live_topT(
+                pdw, min_fw * norm, T)
             flat_d = K + jnp.arange(M, dtype=jnp.int32)[:, None] * K + idx_d
-            w_sel = vals_d / norm[:, None]                  # [M, T]
+            w_sel = jnp.where(vals_d > 0, vals_d / norm[:, None], 0.0)
             act_sel = vals_d > 0
-            w_sel = jnp.where(act_sel, w_sel, 0.0)
-            n_extra = n_act_b - jnp.sum(act_sel.astype(jnp.int32))
+            n_extra = n_live_d - n_kept_d
             red_w = jnp.concatenate([w_a, w_sel.reshape(M * T), w_birth],
                                     axis=0)
             red_act = jnp.concatenate([act_a, act_sel.reshape(M * T), act_c],
@@ -270,19 +238,10 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
                 [jnp.arange(K, dtype=jnp.int32),
                  flat_d.reshape(M * T),
                  K + M * K + jnp.arange(M, dtype=jnp.int32)], axis=0)
-            # stage 2: top-cap by weight via ONE payload-carrying sort —
-            # top_k lowers to a full sort anyway at cap ~ N/2, and carrying
-            # the full-lane id through the sort replaces a separate one-hot
-            # index map (measured 14 ms at P=10240). Ascending sort on -w is
-            # stable, so ties break by lane index exactly like lax.top_k.
-            live = red_act & (red_w > 0)
-            neg_w = jnp.where(live, -red_w, 1.0)
-            neg_s, idx = jax.lax.sort((neg_w, red_flat), num_keys=1)
-            cand_w = jnp.maximum(-neg_s[:cap], 0.0)
-            idx = idx[:cap]
-            sel_act = neg_s[:cap] < 0
-            n_live = jnp.sum(live.astype(jnp.int32))
-            n_compact = jnp.maximum(n_live - cap, 0) + n_extra
+            # stage 2: global top-cap by weight (one payload sort)
+            idx, cand_w, sel_act, n_drop = topcap_sort(
+                red_w, red_act, red_flat, cap)
+            n_compact = n_drop + n_extra
         else:
             w_det_full = pdw / norm[:, None]
             act_b_full = det_valid & (w_det_full >= min_fw)

@@ -154,6 +154,66 @@ def merge_batch_dispatch(mean, cov, weight, active, cfg, out_cap):
                           out_cap, cfg.distance_metric)
 
 
+def select_live_topT(grid, thr, T):
+    """Heaviest-T live detection lanes per measurement (single particle).
+
+    ``grid`` [M, K] >= 0 (invalid lanes zeroed), ``thr`` [M] > 0 per
+    measurement: live = grid >= thr[:, None]. Two tiers (see BENCH.md —
+    lax.top_k, argmax sweeps and batched gathers all lower poorly here):
+
+      A. threshold + cumsum rank compaction to the first 2T live lanes in
+         index order (one fused one-hot contraction) — the complete live
+         set whenever a measurement has <= 2T live lanes;
+      B. heaviest-T of those via a 2-operand payload sort on [M, 2T].
+
+    Returns (vals [M, T], idx [M, T] int32 feature indices,
+    n_live scalar int32, n_kept scalar int32).
+    """
+    M, K = grid.shape
+    dtype = grid.dtype
+    T2 = min(K, 2 * T)
+    live = grid >= thr[:, None]
+    rank = jnp.cumsum(live.astype(jnp.int32), axis=-1)
+    slot = jnp.where(live, rank - 1, T2)                # [M, K] in [0, T2]
+    oh_t = (slot[..., None]
+            == jnp.arange(T2, dtype=jnp.int32)[None, None, :])
+    packed = jnp.stack(
+        [grid, jnp.broadcast_to(jnp.arange(K, dtype=dtype)[None, :],
+                                (M, K))], axis=0)       # [2, M, K]
+    ext = jnp.einsum("mkt,cmk->cmt", oh_t.astype(dtype), packed)
+    vals2, idx2 = ext[0], ext[1]                        # [M, T2]
+    count = rank[:, -1]                                 # [M] live lanes
+    in_t2 = (jnp.arange(T2, dtype=jnp.int32)[None, :] < count[:, None])
+    neg2 = jnp.where(in_t2, -vals2, 1.0)
+    neg_s, idx_s = jax.lax.sort((neg2, idx2), num_keys=1, dimension=-1)
+    vals = jnp.maximum(-neg_s[:, :T], 0.0)
+    idx = idx_s[:, :T].astype(jnp.int32)
+    n_live = jnp.sum(count)
+    n_kept = jnp.sum(jnp.minimum(count, T))
+    return vals, idx, n_live, n_kept
+
+
+def topcap_sort(red_w, red_act, red_flat, cap):
+    """Global top-``cap``-by-weight lane selection via ONE 2-operand
+    payload sort carrying lane ids (single particle).
+
+    Stable ascending sort on -w ties by index exactly like ``lax.top_k``
+    but partitions under SPMD and carries the id payload for free (top_k +
+    a one-hot index map measured 14 ms at P=10240; an extra sort operand
+    adds a full data lane to the sort network).
+
+    Returns (idx [cap] from red_flat, cand_w [cap], sel_act [cap] bool,
+    n_dropped_live scalar).
+    """
+    live = red_act & (red_w > 0)
+    neg_w = jnp.where(live, -red_w, 1.0)
+    neg_s, idx = jax.lax.sort((neg_w, red_flat), num_keys=1)
+    cand_w = jnp.maximum(-neg_s[:cap], 0.0)
+    sel_act = neg_s[:cap] < 0
+    n_live = jnp.sum(live.astype(jnp.int32))
+    return idx[:cap], cand_w, sel_act, jnp.maximum(n_live - cap, 0)
+
+
 def topk_compact_indices(weight, active, cap):
     """Scalar-only top-``cap``-by-weight lane selection.
 
