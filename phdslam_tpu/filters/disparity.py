@@ -217,12 +217,12 @@ def sample_gaussians(mean, cov, n_samples, key):
 # Per-particle SC-PHD update
 # ----------------------------------------------------------------------------
 
-def _disparity_update_single(cam_pose, cloud, feat_w, z, z_mask, key,
-                             cfg: SlamConfig):
-    """One particle's disparity update. z[M, 2] = (u, v) image measurements.
-
-    Returns (new_cloud, new_feat_w, dlog_w, overflow).
-    """
+def _disparity_update_pre(cam_pose, cloud, feat_w, z, z_mask,
+                          cfg: SlamConfig):
+    """Pre-merge half of one particle's disparity update (fit + linear EKF
+    + normalizers + compacted candidate set). The merge runs between the
+    halves so the batched step can hoist it out of vmap (the Pallas 3D
+    kernel's particle-block only engages batch-wide)."""
     K, N, _ = cloud.shape
     M = z.shape[0]
     dtype = cloud.dtype
@@ -324,10 +324,19 @@ def _disparity_update_single(cam_pose, cloud, feat_w, z, z_mask, key,
 
     cand_mean, cand_cov, cand_w, cand_act, n_compact = compact_candidates(
         cand_mean, cand_cov, cand_w, cand_act, cfg.merge_candidate_cap)
-    mg_mean, mg_cov, mg_w, _, n_dropped = gm_merge(
-        cand_mean, cand_cov, cand_w, cand_act,
-        cfg.min_separation, K, cfg.distance_metric)
-    n_dropped = n_dropped + n_compact
+    return dict(cand=(cand_mean, cand_cov, cand_w, cand_act),
+                dlog_w=dlog_w, out_m=out_m, n_compact=n_compact)
+
+
+def _disparity_update_post(mg, pre_out, cam_pose, cloud, feat_w, key,
+                           cfg: SlamConfig):
+    """Post-merge half: re-sample particle clouds from the merged GM,
+    transform back to world space and recombine with out-of-range clouds."""
+    K, N, _ = cloud.shape
+    mg_mean, mg_cov, mg_w, _, n_dropped = mg
+    n_dropped = n_dropped + pre_out["n_compact"]
+    out_m = pre_out["out_m"]
+    dlog_w = pre_out["dlog_w"]
 
     # re-particle-ize merged Gaussians (sampleGaussiansKernel :4250-4304)
     # then transform back to world space
@@ -346,6 +355,18 @@ def _disparity_update_single(cam_pose, cloud, feat_w, z, z_mask, key,
     overflow = jnp.maximum(
         jnp.sum((all_w > 0).astype(jnp.int32)) - K, 0) + n_dropped
     return new_cloud, new_w, dlog_w, overflow
+
+
+def _disparity_update_single(cam_pose, cloud, feat_w, z, z_mask, key,
+                             cfg: SlamConfig):
+    """One particle's disparity update (pre -> merge -> post).
+    Returns (new_cloud, new_feat_w, dlog_w, overflow)."""
+    from ..ops.gm_merge import merge_dispatch
+    K = cloud.shape[0]
+    pre_out = _disparity_update_pre(cam_pose, cloud, feat_w, z, z_mask, cfg)
+    mg = merge_dispatch(*pre_out["cand"], cfg, K)
+    return _disparity_update_post(mg, pre_out, cam_pose, cloud, feat_w,
+                                  key, cfg)
 
 
 class DisparityOutputs(NamedTuple):
@@ -370,10 +391,19 @@ def disparity_step(state: DisparityState, z, z_mask, dt, do_predict,
 
     P = state.cam_pose.shape[0]
     keys = jax.random.split(k_upd, P)
+    # merge hoisted out of the vmap (the Pallas 3D kernel's particle block
+    # only engages batch-wide; the in-vmap XLA while_loop merge dominated
+    # the step at 0.37 s/step)
+    from ..ops.gm_merge import merge_batch_dispatch
+    pre = jax.vmap(lambda cp, cl, fw: _disparity_update_pre(
+        cp, cl, fw, z, z_mask, cfg))(state.cam_pose, state.cloud,
+                                     state.feat_weight)
+    K_feat = state.cloud.shape[1]
+    mg = merge_batch_dispatch(*pre["cand"], cfg, K_feat)
     new_cloud, new_w, dlog_w, overflow = jax.vmap(
-        lambda cp, cl, fw, k: _disparity_update_single(
-            cp, cl, fw, z, z_mask, k, cfg)
-    )(state.cam_pose, state.cloud, state.feat_weight, keys)
+        lambda mg_t, pre_t, cp, cl, fw, k: _disparity_update_post(
+            mg_t, pre_t, cp, cl, fw, k, cfg)
+    )(mg, pre, state.cam_pose, state.cloud, state.feat_weight, keys)
 
     has_z = jnp.any(z_mask)
     log_w = state.log_weight + jnp.where(has_z, dlog_w, 0.0)

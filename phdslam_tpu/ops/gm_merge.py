@@ -119,15 +119,16 @@ def merge_dispatch(mean, cov, weight, active, cfg, out_cap):
     (2D features, Mahalanobis metric, TPU backend — cfg.pallas_merge),
     otherwise to the XLA while_loop implementation."""
     D = mean.shape[-1]
-    if cfg.pallas_merge and D == 2 and cfg.distance_metric == 0:
-        from .pallas_merge import gm_merge_pallas_one, pallas_available
+    if cfg.pallas_merge and D in (2, 3) and cfg.distance_metric == 0:
+        from .pallas_merge import (gm_merge_pallas_one,
+                                   gm_merge_pallas_one_3d, pallas_available)
+        fn = gm_merge_pallas_one if D == 2 else gm_merge_pallas_one_3d
         if cfg.pallas_merge == 2:
-            return gm_merge_pallas_one(mean, cov, weight, active,
-                                       float(cfg.min_separation), out_cap,
-                                       interpret=True)
+            return fn(mean, cov, weight, active,
+                      float(cfg.min_separation), out_cap, interpret=True)
         if pallas_available():
-            return gm_merge_pallas_one(mean, cov, weight, active,
-                                       float(cfg.min_separation), out_cap)
+            return fn(mean, cov, weight, active,
+                      float(cfg.min_separation), out_cap)
     return gm_merge(mean, cov, weight, active, cfg.min_separation, out_cap,
                     cfg.distance_metric)
 
@@ -141,15 +142,16 @@ def merge_batch_dispatch(mean, cov, weight, active, cfg, out_cap):
     slower).
     """
     D = mean.shape[-1]
-    if cfg.pallas_merge and D == 2 and cfg.distance_metric == 0:
-        from .pallas_merge import gm_merge_pallas_batch, pallas_available
+    if cfg.pallas_merge and D in (2, 3) and cfg.distance_metric == 0:
+        from .pallas_merge import (gm_merge_pallas_batch,
+                                   gm_merge_pallas_batch_3d, pallas_available)
+        fn = gm_merge_pallas_batch if D == 2 else gm_merge_pallas_batch_3d
         if cfg.pallas_merge == 2:
-            return gm_merge_pallas_batch(mean, cov, weight, active,
-                                         float(cfg.min_separation), out_cap,
-                                         interpret=True)
+            return fn(mean, cov, weight, active,
+                      float(cfg.min_separation), out_cap, interpret=True)
         if pallas_available():
-            return gm_merge_pallas_batch(mean, cov, weight, active,
-                                         float(cfg.min_separation), out_cap)
+            return fn(mean, cov, weight, active,
+                      float(cfg.min_separation), out_cap)
     return gm_merge_batch(mean, cov, weight, active, cfg.min_separation,
                           out_cap, cfg.distance_metric)
 

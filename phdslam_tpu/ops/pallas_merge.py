@@ -250,3 +250,191 @@ def gm_merge_pallas_batch(mean, cov, weight, active, min_separation,
     n_merged = jnp.sum((out_w > 0).astype(jnp.int32), axis=-1)
     n_dropped = out[:, 6, 0].astype(jnp.int32)
     return out_mean, out_cov, out_w, n_merged, n_dropped
+
+
+# -----------------------------------------------------------------------------
+# 3D variant (disparity / SC-PHD Gaussian3D features, phdfilter.cu:4977-4983)
+# -----------------------------------------------------------------------------
+
+def _merge_kernel_3d(in_ref, out_ref, *, n_cand, out_cap, min_separation,
+                     block, r_par):
+    """3D-feature greedy merge — same algorithm and R-way exact-greedy
+    parallelization as :func:`_merge_kernel`, with closed-form symmetric
+    3x3 inverses for the Mahalanobis metric (matches ops.math.mahalanobis2
+    = computeMahalDist semantics, device_math.cuh:308-363).
+
+    Layout (SoA planes, f32):
+      input  [P, 11, N]: w, act, mx, my, mz, c00, c01, c02, c11, c12, c22
+      output [P, 12, K]: w, mx, my, mz, c00, c01, c02, c11, c12, c22,
+                         n_unmerged (broadcast), pad
+    """
+    B = block
+    R = r_par
+    x = in_ref[:]                      # [B, 11, N]
+    w = x[:, 0, :]
+    act = x[:, 1, :]
+    m = [x[:, 2, :], x[:, 3, :], x[:, 4, :]]
+    c = [x[:, 5, :], x[:, 6, :], x[:, 7, :],     # c00 c01 c02
+         x[:, 8, :], x[:, 9, :], x[:, 10, :]]    # c11 c12 c22
+
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (B, n_cand), 1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (B, out_cap), 1)
+
+    def mahal3(d0, d1, d2, s00, s01, s02, s11, s12, s22):
+        det = (s00 * (s11 * s22 - s12 * s12)
+               - s01 * (s01 * s22 - s12 * s02)
+               + s02 * (s01 * s12 - s11 * s02))
+        det = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+        i00 = (s11 * s22 - s12 * s12) / det
+        i01 = (s02 * s12 - s01 * s22) / det
+        i02 = (s01 * s12 - s02 * s11) / det
+        i11 = (s00 * s22 - s02 * s02) / det
+        i12 = (s01 * s02 - s00 * s12) / det
+        i22 = (s00 * s11 - s01 * s01) / det
+        return (d0 * d0 * i00 + d1 * d1 * i11 + d2 * d2 * i22
+                + 2.0 * (d0 * d1 * i01 + d0 * d2 * i02 + d1 * d2 * i12))
+
+    def body(state):
+        cnt, unmerged, ow, om, oc = state
+
+        w_act = jnp.where(unmerged > 0.5, w, -1.0)
+        ohs, hass, pm, pc = [], [], [], []
+        for _ in range(R):
+            imax = jnp.argmax(w_act, axis=-1)[:, None]        # [B, 1]
+            hass.append((jnp.max(w_act, axis=-1) > 0.0)[:, None])
+            oh = (iota_n == imax)
+            ohf = oh.astype(jnp.float32)
+            ohs.append(oh)
+            pm.append([jnp.sum(ohf * mi, axis=-1, keepdims=True)
+                       for mi in m])
+            pc.append([jnp.sum(ohf * ci, axis=-1, keepdims=True)
+                       for ci in c])
+            w_act = jnp.where(oh, -1.0, w_act)
+
+        dists = []
+        for r in range(R):
+            s = [0.5 * (ci + pci) for ci, pci in zip(c, pc[r])]
+            d = [pmi - mi for pmi, mi in zip(pm[r], m)]
+            dists.append(mahal3(d[0], d[1], d[2], *s))
+
+        valid = [hass[0]]
+        for r in range(1, R):
+            v = hass[r]
+            for s_ in range(r):
+                q = [0.5 * (pc[s_][i] + pc[r][i]) for i in range(6)]
+                qd = [pm[s_][i] - pm[r][i] for i in range(3)]
+                d_sr = mahal3(qd[0], qd[1], qd[2], *q)
+                v = v & ~(valid[s_] & (d_sr < min_separation))
+            valid.append(v)
+
+        unassigned = unmerged
+        n_emit = jnp.zeros((B, 1), jnp.int32)
+        for r in range(R):
+            slot = cnt + n_emit
+            can_emit = valid[r] & (slot < out_cap)
+            sel = (unassigned > 0.5) & ((dists[r] < min_separation) | ohs[r])
+            sel = sel & can_emit
+            self_f = sel.astype(jnp.float32)
+
+            sw = self_f * w
+            W = jnp.sum(sw, axis=-1, keepdims=True)
+            W_safe = jnp.maximum(W, 1e-30)
+            mu = [jnp.sum(sw * mi, axis=-1, keepdims=True) / W_safe
+                  for mi in m]
+            dd = [mui - mi for mui, mi in zip(mu, m)]
+            pairs = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+            mc = [jnp.sum(sw * (c[i] + dd[a] * dd[b]), axis=-1,
+                          keepdims=True) / W_safe
+                  for i, (a, b) in enumerate(pairs)]
+
+            emit = (iota_k == slot) & can_emit
+            ow = jnp.where(emit, W, ow)
+            om = [jnp.where(emit, mu[i], om[i]) for i in range(3)]
+            oc = [jnp.where(emit, mc[i], oc[i]) for i in range(6)]
+
+            unassigned = unassigned * (1.0 - self_f)
+            n_emit = n_emit + can_emit.astype(jnp.int32)
+
+        return (cnt + n_emit, unassigned, ow, om, oc)
+
+    def cond(state):
+        cnt, unmerged = state[0], state[1]
+        live = unmerged * (cnt < out_cap).astype(jnp.float32)
+        return jnp.max(live) > 0.5
+
+    zk = jnp.zeros((B, out_cap), jnp.float32)
+    state = (jnp.zeros((B, 1), jnp.int32), act, zk,
+             [zk, zk, zk], [zk, zk, zk, zk, zk, zk])
+    _, unmerged, ow, om, oc = jax.lax.while_loop(cond, body, state)
+
+    n_left = jnp.sum(unmerged, axis=-1, keepdims=True)
+    out_ref[:, 0, :] = ow
+    for i in range(3):
+        out_ref[:, 1 + i, :] = om[i]
+    for i in range(6):
+        out_ref[:, 4 + i, :] = oc[i]
+    out_ref[:, 10, :] = jnp.broadcast_to(n_left, (B, out_cap))
+    out_ref[:, 11, :] = zk
+
+
+def gm_merge_pallas_one_3d(mean, cov, weight, active, min_separation,
+                           out_cap, interpret=False, r_par=8):
+    """Single-particle 3D variant — drop-in for ops.gm_merge.gm_merge."""
+    om, oc, ow, nm, nd = gm_merge_pallas_batch_3d(
+        mean[None], cov[None], weight[None], active[None],
+        min_separation, out_cap, interpret, r_par)
+    return om[0], oc[0], ow[0], nm[0], nd[0]
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
+                                             "interpret", "r_par"))
+def gm_merge_pallas_batch_3d(mean, cov, weight, active, min_separation,
+                             out_cap, interpret=False, r_par=8):
+    """Batch 3D merge: mean [P, N, 3], cov [P, N, 3, 3], weight/active
+    [P, N] -> (out_mean [P,K,3], out_cov [P,K,3,3], out_w [P,K],
+    n_merged [P], n_dropped [P])."""
+    P, N, D = mean.shape
+    assert D == 3
+    packed = jnp.stack([
+        weight, active.astype(jnp.float32),
+        mean[..., 0], mean[..., 1], mean[..., 2],
+        cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
+        cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2]], axis=1)
+
+    import os
+    B = int(os.environ.get("PHDSLAM_MERGE_BLOCK", "8"))
+    B = B if P >= B else P
+    P_pad = ((P + B - 1) // B) * B
+    if P_pad != P:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((P_pad - P, 11, N), jnp.float32)], axis=0)
+
+    out = pl.pallas_call(
+        functools.partial(_merge_kernel_3d, n_cand=N, out_cap=out_cap,
+                          min_separation=float(min_separation), block=B,
+                          r_par=max(1, r_par)),
+        out_shape=jax.ShapeDtypeStruct((P_pad, 12, out_cap), jnp.float32),
+        grid=(P_pad // B,),
+        in_specs=[pl.BlockSpec((B, 11, N), lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((B, 12, out_cap), lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(packed)
+    out = out[:P]
+
+    out_w = out[:, 0, :]
+    out_mean = jnp.stack([out[:, 1, :], out[:, 2, :], out[:, 3, :]], axis=-1)
+    o = {k: out[:, 4 + i, :] for i, k in enumerate(
+        ["00", "01", "02", "11", "12", "22"])}
+    out_cov = jnp.stack([
+        jnp.stack([o["00"], o["01"], o["02"]], axis=-1),
+        jnp.stack([o["01"], o["11"], o["12"]], axis=-1),
+        jnp.stack([o["02"], o["12"], o["22"]], axis=-1)], axis=-2)
+    empty = out_w <= 0
+    eye = jnp.eye(3, dtype=out_cov.dtype)
+    out_cov = jnp.where(empty[..., None, None], eye, out_cov)
+    out_mean = jnp.where(empty[..., None], 0.0, out_mean)
+    n_merged = jnp.sum((out_w > 0).astype(jnp.int32), axis=-1)
+    n_dropped = out[:, 10, 0].astype(jnp.int32)
+    return out_mean, out_cov, out_w, n_merged, n_dropped

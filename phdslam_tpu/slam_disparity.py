@@ -41,12 +41,17 @@ def load_image_measurements(path: str) -> List[np.ndarray]:
 
 
 def run_disparity(cfg: SlamConfig, data_dir: Optional[str] = None,
-                  out_dir: Optional[str] = None, verbose: bool = False):
+                  out_dir: Optional[str] = None, verbose: bool = False,
+                  scanned: bool = True):
     """Run the SC-PHD filter over an image-measurement dataset.
 
     With ``cfg.follow_trajectory`` the camera poses are taken from
     ``traj.txt`` instead of being filtered — single-particle mapping-only
     mode (main.cpp:1335-1339, 1383-1387).
+
+    ``scanned`` runs the whole sequence as one on-device ``lax.scan``
+    (measured 11x the per-step host loop over the axon tunnel); pass False
+    for the step-by-step path (debugging / verbose).
     """
     data_dir = data_dir or cfg.data_directory
     measurements = load_image_measurements(
@@ -65,31 +70,65 @@ def run_disparity(cfg: SlamConfig, data_dir: Optional[str] = None,
                 cfg.max_measurements)
     z, mask = io.pad_measurements(measurements, m_max)
 
-    step = make_disparity_step_fn(cfg)
     state = init_disparity_state(cfg)
     z_dev = jnp.asarray(z)
     mask_dev = jnp.asarray(mask)
+    T = len(measurements)
 
-    est_poses = []
-    n_effs = []
-    t0 = time.perf_counter()
-    outs = []
-    for n in range(len(measurements)):
+    if scanned and not verbose:
+        import functools
+
+        from .filters.disparity import disparity_step
+
         if traj is not None:
-            # pose comes from the trajectory; skip prediction (main.cpp:1384)
-            state = state.replace(cam_pose=jnp.asarray(
-                traj[min(n, len(traj) - 1)], jnp.float32)[None, :])
-        state, out = step(state, z_dev[n], mask_dev[n],
-                          jnp.float32(cfg.dt),
-                          jnp.asarray(n > 0 and traj is None))
-        outs.append(out)
-        if verbose and n % 20 == 0:
-            print(f"step {n}/{len(measurements)} "
-                  f"nEff={float(out.n_eff):.3f}")
-    jax.block_until_ready(outs[-1].n_eff)
-    wall = time.perf_counter() - t0
-    est_poses = np.asarray(jnp.stack([o.expected_pose for o in outs]))
-    n_effs = np.asarray(jnp.stack([o.n_eff for o in outs]))
+            traj_dev = jnp.asarray(
+                traj[np.minimum(np.arange(T), len(traj) - 1)], jnp.float32)
+        else:
+            traj_dev = jnp.zeros((T, 12), jnp.float32)
+        do_pred = jnp.asarray(
+            (np.arange(T) > 0) & (traj is None))
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_all(st, z_all, m_all, traj_all, dp_all):
+            def body(carry, inp):
+                st, = carry
+                z_n, m_n, tr_n, dp = inp
+                if traj is not None:
+                    st = st.replace(cam_pose=tr_n[None, :])
+                st, out = disparity_step(st, z_n, m_n,
+                                         jnp.float32(cfg.dt), dp, cfg=cfg)
+                return (st,), (out.expected_pose, out.n_eff)
+            (st,), ys = jax.lax.scan(
+                body, (st,), (z_all, m_all, traj_all, dp_all))
+            return st, ys
+
+        t0 = time.perf_counter()
+        state, (ep, ne) = run_all(state, z_dev, mask_dev, traj_dev, do_pred)
+        jax.block_until_ready(ne)
+        wall = time.perf_counter() - t0
+        est_poses = np.asarray(ep)
+        n_effs = np.asarray(ne)
+        outs = [None] * T
+    else:
+        step = make_disparity_step_fn(cfg)
+        t0 = time.perf_counter()
+        outs = []
+        for n in range(T):
+            if traj is not None:
+                # pose from the trajectory; skip prediction (main.cpp:1384)
+                state = state.replace(cam_pose=jnp.asarray(
+                    traj[min(n, len(traj) - 1)], jnp.float32)[None, :])
+            state, out = step(state, z_dev[n], mask_dev[n],
+                              jnp.float32(cfg.dt),
+                              jnp.asarray(n > 0 and traj is None))
+            outs.append(out)
+            if verbose and n % 20 == 0:
+                print(f"step {n}/{len(measurements)} "
+                      f"nEff={float(out.n_eff):.3f}")
+        jax.block_until_ready(outs[-1].n_eff)
+        wall = time.perf_counter() - t0
+        est_poses = np.asarray(jnp.stack([o.expected_pose for o in outs]))
+        n_effs = np.asarray(jnp.stack([o.n_eff for o in outs]))
 
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
