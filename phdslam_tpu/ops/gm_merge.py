@@ -119,10 +119,12 @@ def merge_dispatch(mean, cov, weight, active, cfg, out_cap):
     (2D features, Mahalanobis metric, TPU backend — cfg.pallas_merge),
     otherwise to the XLA while_loop implementation."""
     D = mean.shape[-1]
-    if cfg.pallas_merge and D in (2, 3) and cfg.distance_metric == 0:
+    if cfg.pallas_merge and D in (2, 3, 4) and cfg.distance_metric == 0:
         from .pallas_merge import (gm_merge_pallas_one,
-                                   gm_merge_pallas_one_3d, pallas_available)
-        fn = gm_merge_pallas_one if D == 2 else gm_merge_pallas_one_3d
+                                   gm_merge_pallas_one_3d,
+                                   gm_merge_pallas_one_4d, pallas_available)
+        fn = {2: gm_merge_pallas_one, 3: gm_merge_pallas_one_3d,
+              4: gm_merge_pallas_one_4d}[D]
         if cfg.pallas_merge == 2:
             return fn(mean, cov, weight, active,
                       float(cfg.min_separation), out_cap, interpret=True)
@@ -142,10 +144,12 @@ def merge_batch_dispatch(mean, cov, weight, active, cfg, out_cap):
     slower).
     """
     D = mean.shape[-1]
-    if cfg.pallas_merge and D in (2, 3) and cfg.distance_metric == 0:
+    if cfg.pallas_merge and D in (2, 3, 4) and cfg.distance_metric == 0:
         from .pallas_merge import (gm_merge_pallas_batch,
-                                   gm_merge_pallas_batch_3d, pallas_available)
-        fn = gm_merge_pallas_batch if D == 2 else gm_merge_pallas_batch_3d
+                                   gm_merge_pallas_batch_3d,
+                                   gm_merge_pallas_batch_4d, pallas_available)
+        fn = {2: gm_merge_pallas_batch, 3: gm_merge_pallas_batch_3d,
+              4: gm_merge_pallas_batch_4d}[D]
         if cfg.pallas_merge == 2:
             return fn(mean, cov, weight, active,
                       float(cfg.min_separation), out_cap, interpret=True)

@@ -438,3 +438,211 @@ def gm_merge_pallas_batch_3d(mean, cov, weight, active, min_separation,
     n_merged = jnp.sum((out_w > 0).astype(jnp.int32), axis=-1)
     n_dropped = out[:, 10, 0].astype(jnp.int32)
     return out_mean, out_cov, out_w, n_merged, n_dropped
+
+
+# -----------------------------------------------------------------------------
+# 4D variant (dynamic CV features of the mixed jump-Markov model,
+# phdfilter.cu:2323-2635; reference 4x4 closed-form inverse device_math:87-106)
+# -----------------------------------------------------------------------------
+
+_PAIRS4 = ((0, 0), (0, 1), (0, 2), (0, 3), (1, 1), (1, 2), (1, 3),
+           (2, 2), (2, 3), (3, 3))
+
+
+def _merge_kernel_4d(in_ref, out_ref, *, n_cand, out_cap, min_separation,
+                     block, r_par):
+    """4D-feature greedy merge — same algorithm and R-way exact-greedy
+    parallelization as :func:`_merge_kernel`. The Mahalanobis quadratic
+    form uses the symmetric 2x2-block Schur identity
+    d'S^-1 d = p'A^-1 p + (B'A^-1 p - q)' (C - B'A^-1 B)^-1 (B'A^-1 p - q)
+    (S = [[A, B], [B', C]], d = (p, q)) so only 2x2 closed-form inverses
+    appear.
+
+    Layout (SoA planes, f32):
+      input  [P, 16, N]: w, act, m0..m3, c00 c01 c02 c03 c11 c12 c13 c22
+                         c23 c33
+      output [P, 16, K]: w, m0..m3, (10 cov planes), n_unmerged (broadcast)
+    """
+    B = block
+    R = r_par
+    x = in_ref[:]                      # [B, 16, N]
+    w = x[:, 0, :]
+    act = x[:, 1, :]
+    m = [x[:, 2 + i, :] for i in range(4)]
+    c = [x[:, 6 + i, :] for i in range(10)]
+    # c indices: 0:00 1:01 2:02 3:03 4:11 5:12 6:13 7:22 8:23 9:33
+
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (B, n_cand), 1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (B, out_cap), 1)
+
+    def mahal4(d, s):
+        # s: 10 planes in _PAIRS4 order; d: 4 planes
+        s00, s01, s02, s03, s11, s12, s13, s22, s23, s33 = s
+        detA = s00 * s11 - s01 * s01
+        detA = jnp.where(jnp.abs(detA) > 1e-30, detA, 1e-30)
+        ai00 = s11 / detA
+        ai01 = -s01 / detA
+        ai11 = s00 / detA
+        # G = A^-1 B (B = [[s02, s03], [s12, s13]])
+        g00 = ai00 * s02 + ai01 * s12
+        g01 = ai00 * s03 + ai01 * s13
+        g10 = ai01 * s02 + ai11 * s12
+        g11 = ai01 * s03 + ai11 * s13
+        # Mblk = C - B' G
+        m00 = s22 - (s02 * g00 + s12 * g10)
+        m01 = s23 - (s02 * g01 + s12 * g11)
+        m11 = s33 - (s03 * g01 + s13 * g11)
+        detM = m00 * m11 - m01 * m01
+        detM = jnp.where(jnp.abs(detM) > 1e-30, detM, 1e-30)
+        mi00 = m11 / detM
+        mi01 = -m01 / detM
+        mi11 = m00 / detM
+        # quadratic form
+        v0 = ai00 * d[0] + ai01 * d[1]
+        v1 = ai01 * d[0] + ai11 * d[1]
+        pap = d[0] * v0 + d[1] * v1
+        u0 = s02 * v0 + s12 * v1 - d[2]
+        u1 = s03 * v0 + s13 * v1 - d[3]
+        return pap + (u0 * u0 * mi00 + 2.0 * u0 * u1 * mi01
+                      + u1 * u1 * mi11)
+
+    def body(state):
+        cnt, unmerged, ow, om, oc = state
+
+        w_act = jnp.where(unmerged > 0.5, w, -1.0)
+        ohs, hass, pm, pc = [], [], [], []
+        for _ in range(R):
+            imax = jnp.argmax(w_act, axis=-1)[:, None]        # [B, 1]
+            hass.append((jnp.max(w_act, axis=-1) > 0.0)[:, None])
+            oh = (iota_n == imax)
+            ohf = oh.astype(jnp.float32)
+            ohs.append(oh)
+            pm.append([jnp.sum(ohf * mi, axis=-1, keepdims=True)
+                       for mi in m])
+            pc.append([jnp.sum(ohf * ci, axis=-1, keepdims=True)
+                       for ci in c])
+            w_act = jnp.where(oh, -1.0, w_act)
+
+        dists = []
+        for r in range(R):
+            s = [0.5 * (ci + pci) for ci, pci in zip(c, pc[r])]
+            d = [pmi - mi for pmi, mi in zip(pm[r], m)]
+            dists.append(mahal4(d, s))
+
+        valid = [hass[0]]
+        for r in range(1, R):
+            v = hass[r]
+            for s_ in range(r):
+                q = [0.5 * (pc[s_][i] + pc[r][i]) for i in range(10)]
+                qd = [pm[s_][i] - pm[r][i] for i in range(4)]
+                d_sr = mahal4(qd, q)
+                v = v & ~(valid[s_] & (d_sr < min_separation))
+            valid.append(v)
+
+        unassigned = unmerged
+        n_emit = jnp.zeros((B, 1), jnp.int32)
+        for r in range(R):
+            slot = cnt + n_emit
+            can_emit = valid[r] & (slot < out_cap)
+            sel = (unassigned > 0.5) & ((dists[r] < min_separation) | ohs[r])
+            sel = sel & can_emit
+            self_f = sel.astype(jnp.float32)
+
+            sw = self_f * w
+            W = jnp.sum(sw, axis=-1, keepdims=True)
+            W_safe = jnp.maximum(W, 1e-30)
+            mu = [jnp.sum(sw * mi, axis=-1, keepdims=True) / W_safe
+                  for mi in m]
+            dd = [mui - mi for mui, mi in zip(mu, m)]
+            mc = [jnp.sum(sw * (c[i] + dd[a] * dd[b]), axis=-1,
+                          keepdims=True) / W_safe
+                  for i, (a, b) in enumerate(_PAIRS4)]
+
+            emit = (iota_k == slot) & can_emit
+            ow = jnp.where(emit, W, ow)
+            om = [jnp.where(emit, mu[i], om[i]) for i in range(4)]
+            oc = [jnp.where(emit, mc[i], oc[i]) for i in range(10)]
+
+            unassigned = unassigned * (1.0 - self_f)
+            n_emit = n_emit + can_emit.astype(jnp.int32)
+
+        return (cnt + n_emit, unassigned, ow, om, oc)
+
+    def cond(state):
+        cnt, unmerged = state[0], state[1]
+        live = unmerged * (cnt < out_cap).astype(jnp.float32)
+        return jnp.max(live) > 0.5
+
+    zk = jnp.zeros((B, out_cap), jnp.float32)
+    state = (jnp.zeros((B, 1), jnp.int32), act, zk,
+             [zk] * 4, [zk] * 10)
+    _, unmerged, ow, om, oc = jax.lax.while_loop(cond, body, state)
+
+    n_left = jnp.sum(unmerged, axis=-1, keepdims=True)
+    out_ref[:, 0, :] = ow
+    for i in range(4):
+        out_ref[:, 1 + i, :] = om[i]
+    for i in range(10):
+        out_ref[:, 5 + i, :] = oc[i]
+    out_ref[:, 15, :] = jnp.broadcast_to(n_left, (B, out_cap))
+
+
+def gm_merge_pallas_one_4d(mean, cov, weight, active, min_separation,
+                           out_cap, interpret=False, r_par=8):
+    """Single-particle 4D variant — drop-in for ops.gm_merge.gm_merge."""
+    om, oc, ow, nm, nd = gm_merge_pallas_batch_4d(
+        mean[None], cov[None], weight[None], active[None],
+        min_separation, out_cap, interpret, r_par)
+    return om[0], oc[0], ow[0], nm[0], nd[0]
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
+                                             "interpret", "r_par"))
+def gm_merge_pallas_batch_4d(mean, cov, weight, active, min_separation,
+                             out_cap, interpret=False, r_par=8):
+    """Batch 4D merge: mean [P, N, 4], cov [P, N, 4, 4] -> (out_mean
+    [P,K,4], out_cov [P,K,4,4], out_w [P,K], n_merged [P], n_dropped [P])."""
+    P, N, D = mean.shape
+    assert D == 4
+    planes = [weight, active.astype(jnp.float32)] \
+        + [mean[..., i] for i in range(4)] \
+        + [cov[..., a, b] for a, b in _PAIRS4]
+    packed = jnp.stack(planes, axis=1)                  # [P, 16, N]
+
+    import os
+    B = int(os.environ.get("PHDSLAM_MERGE_BLOCK", "8"))
+    B = B if P >= B else P
+    P_pad = ((P + B - 1) // B) * B
+    if P_pad != P:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((P_pad - P, 16, N), jnp.float32)], axis=0)
+
+    out = pl.pallas_call(
+        functools.partial(_merge_kernel_4d, n_cand=N, out_cap=out_cap,
+                          min_separation=float(min_separation), block=B,
+                          r_par=max(1, r_par)),
+        out_shape=jax.ShapeDtypeStruct((P_pad, 16, out_cap), jnp.float32),
+        grid=(P_pad // B,),
+        in_specs=[pl.BlockSpec((B, 16, N), lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((B, 16, out_cap), lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(packed)
+    out = out[:P]
+
+    out_w = out[:, 0, :]
+    out_mean = jnp.stack([out[:, 1 + i, :] for i in range(4)], axis=-1)
+    full = [[None] * 4 for _ in range(4)]
+    for i, (a, b) in enumerate(_PAIRS4):
+        full[a][b] = out[:, 5 + i, :]
+        full[b][a] = out[:, 5 + i, :]
+    out_cov = jnp.stack(
+        [jnp.stack(row, axis=-1) for row in full], axis=-2)
+    empty = out_w <= 0
+    eye = jnp.eye(4, dtype=out_cov.dtype)
+    out_cov = jnp.where(empty[..., None, None], eye, out_cov)
+    out_mean = jnp.where(empty[..., None], 0.0, out_mean)
+    n_merged = jnp.sum((out_w > 0).astype(jnp.int32), axis=-1)
+    n_dropped = out[:, 15, 0].astype(jnp.int32)
+    return out_mean, out_cov, out_w, n_merged, n_dropped

@@ -129,3 +129,36 @@ def test_pallas_merge_3d_matches_xla(seed):
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
     np.testing.assert_array_equal(np.asarray(got[4]), np.asarray(ref[4]))
+
+
+def random_case_nd(P, N, D, seed):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 25, (P, 8, D))
+    idx = rng.integers(0, 8, (P, N))
+    mean = centers[np.arange(P)[:, None], idx] + rng.normal(0, 0.4,
+                                                            (P, N, D))
+    A = rng.normal(0, 0.5, (P, N, D, D))
+    cov = np.einsum("pnij,pnkj->pnik", A, A) + np.eye(D) * 0.3
+    w = rng.uniform(0, 1, (P, N)).astype(np.float32)
+    act = rng.random((P, N)) < 0.7
+    return (jnp.asarray(mean, jnp.float32), jnp.asarray(cov, jnp.float32),
+            jnp.asarray(w), jnp.asarray(act))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_merge_4d_matches_xla(seed):
+    """4D kernel (dynamic CV features) vs the generic XLA merge."""
+    from phdslam_tpu.ops.pallas_merge import gm_merge_pallas_batch_4d
+    P, N, K = 4, 64, 16
+    mean, cov, w, act = random_case_nd(P, N, 4, seed)
+    ref = gm_merge_batch(mean, cov, w, act, 4.0, K, 0)
+    got = gm_merge_pallas_batch_4d(mean, cov, w, act, 4.0, K,
+                                   interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+    np.testing.assert_array_equal(np.asarray(got[4]), np.asarray(ref[4]))
