@@ -44,7 +44,19 @@ def main(argv=None):
                          "abort, main.cpp:1307, as a raised error)")
     ap.add_argument("--trace", metavar="DIR", default=None,
                     help="write a jax.profiler trace of the run")
+    ap.add_argument("--distributed", action="store_true",
+                    help="initialize the multi-host runtime "
+                         "(jax.distributed; same command on every host)")
     args = ap.parse_args(argv)
+
+    if args.distributed:
+        from .parallel import distributed
+        multi = distributed.initialize()
+        if multi:
+            import jax
+            print(f"multi-host runtime: process "
+                  f"{jax.process_index()}/{jax.process_count()}, "
+                  f"{len(jax.devices())} global devices")
 
     from .config import load_config
     cfg = load_config(args.config)

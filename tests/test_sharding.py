@@ -129,3 +129,19 @@ def test_run_sharded_matches_scanned(mesh, tmp_path):
                                rtol=1e-3, atol=5e-3)
     np.testing.assert_allclose(res2["n_eff"], res1["n_eff"],
                                rtol=1e-3, atol=1e-4)
+
+
+def test_distributed_module_single_host():
+    """Single-host behavior of the multi-host runtime helpers: initialize is
+    a no-op without a cluster env, primary is True, and the global mesh
+    spans the local devices."""
+    import jax
+
+    from phdslam_tpu.parallel import distributed
+
+    assert distributed.initialize() is False  # no cluster env here
+    assert distributed.is_primary()
+    mesh = distributed.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert distributed.process_local_batch(len(jax.devices()) * 4) \
+        == len(jax.devices()) * 4  # one process owns everything
