@@ -57,9 +57,20 @@ def generate_batch_datasets(out_root: str, n_runs: int = 10,
     mp = mp or simdata.AckermanParams()
     landmarks, traj, controls = simdata.generate_world(
         n_landmarks=n_landmarks, n_steps=n_steps, dt=dt, seed=seed, mp=mp)
+    # order landmarks by first observation so landmarks[:cum[t]] is the true
+    # map at step t (batch_analyze.py scores vs the per-step true map)
+    first_seen = np.full(len(landmarks), n_steps)
+    for t in range(n_steps - 1, -1, -1):
+        d = np.linalg.norm(landmarks - traj[t, :2], axis=1)
+        first_seen[d <= sp.max_range] = t
+    order = np.argsort(first_seen, kind="stable")
+    landmarks = landmarks[order]
+    cum = np.searchsorted(first_seen[order], np.arange(n_steps),
+                          side="right")
     os.makedirs(out_root, exist_ok=True)
     gt_path = os.path.join(out_root, "groundtruth.npz")
-    np.savez(gt_path, landmarks=landmarks, traj=traj, controls=controls)
+    np.savez(gt_path, landmarks=landmarks, traj=traj, controls=controls,
+             cumulative_counts=cum)
     for r in range(n_runs):
         run_dir = os.path.join(out_root, f"run{r:03d}")
         noisy_controls, measurements = simdata.generate_run(
@@ -75,6 +86,8 @@ def run_batch(cfg: SlamConfig, data_root: str, n_runs: Optional[int] = None,
     against ``groundtruth.npz`` (batch_run.py + batch_analyze.py)."""
     gt = np.load(os.path.join(data_root, "groundtruth.npz"))
     traj, landmarks = gt["traj"], gt["landmarks"]
+    cum = (gt["cumulative_counts"] if "cumulative_counts" in gt.files
+           else np.full(len(traj), len(landmarks)))
     run_dirs = sorted(d for d in os.listdir(data_root)
                       if d.startswith("run"))
     if n_runs:
@@ -98,7 +111,8 @@ def run_batch(cfg: SlamConfig, data_root: str, n_runs: Optional[int] = None,
         for k in range(0, T, ospa_every):
             est_map = extract_map_estimate(res["map_weights"][k],
                                            res["map_means"][k])
-            o, _, _ = ospa_distance(landmarks, est_map, p=1, c=5)
+            true_map = landmarks[:cum[min(k, len(cum) - 1)]]
+            o, _, _ = ospa_distance(true_map, est_map, p=1, c=5)
             ospas.append(o)
         all_pe.append(pe)
         all_ospa.append(ospas)
