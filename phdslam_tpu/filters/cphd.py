@@ -421,7 +421,8 @@ def cphd_update(state: FilterState, z, z_mask, consts, cfg: SlamConfig):
         lambda p, m, c, w: _cphd_update_single(p, m, c, w, z, z_mask, consts,
                                                cfg)
     )(state.pose, gm.mean, gm.cov, gm.weight)
-    mg = merge_batch_dispatch(*pre["cand"], cfg, gm.mean.shape[-2])
+    mg = merge_batch_dispatch(*pre["cand"], cfg, gm.mean.shape[-2],
+                              sorted_prefix=cfg.merge_candidate_cap > 0)
     upd = jax.vmap(
         lambda mg_t, pre_t, m, c, w: _cphd_update_single_post(
             mg_t, pre_t, m, c, w, cfg)

@@ -381,7 +381,8 @@ def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
 
     from ..ops.gm_merge import merge_batch_dispatch
     cm, cc, cw, ca = pre["cand"]
-    mg = merge_batch_dispatch(cm, cc, cw, ca, cfg, K)
+    mg = merge_batch_dispatch(cm, cc, cw, ca, cfg, K,
+                              sorted_prefix=cfg.merge_candidate_cap > 0)
 
     return jax.vmap(
         lambda mg_t, pre_t, m, c, w: _update_single_post(mg_t, pre_t, m, c,

@@ -135,13 +135,22 @@ def merge_dispatch(mean, cov, weight, active, cfg, out_cap):
                     cfg.distance_metric)
 
 
-def merge_batch_dispatch(mean, cov, weight, active, cfg, out_cap):
+def merge_batch_dispatch(mean, cov, weight, active, cfg, out_cap,
+                         sorted_prefix=False):
     """Batch-level merge routing (mean [P, N, D], ...).
 
     Prefer this over vmapping :func:`merge_dispatch`: the Pallas kernel's
     particle-block vectorization only engages when it sees the whole batch
     (inside vmap it degenerates to one particle per program — measured 5x
     slower).
+
+    ``sorted_prefix``: the caller guarantees every particle's ACTIVE lanes
+    occupy a weight-sorted prefix (true for all the top-cap-compacted
+    candidate sets). The dispatcher then lax.switches between narrower
+    static-width kernel variants based on the batch's max live count —
+    exact (the dropped tail is all-inactive) and roughly halves the merge's
+    per-cluster lane sweeps in the common case where live lanes fill only
+    a fraction of the cap.
     """
     D = mean.shape[-1]
     if cfg.pallas_merge and D in (2, 3, 4) and cfg.distance_metric == 0:
@@ -150,12 +159,33 @@ def merge_batch_dispatch(mean, cov, weight, active, cfg, out_cap):
                                    gm_merge_pallas_batch_4d, pallas_available)
         fn = {2: gm_merge_pallas_batch, 3: gm_merge_pallas_batch_3d,
               4: gm_merge_pallas_batch_4d}[D]
-        if cfg.pallas_merge == 2:
+        interpret = cfg.pallas_merge == 2
+        if interpret or pallas_available():
+            N = mean.shape[1]
+            widths = []
+            for frac in (4, 2, 1):
+                w = -(-N // frac // 128) * 128          # ceil to lane tile
+                if 0 < w <= N and w not in widths:
+                    widths.append(w)
+            if sorted_prefix and len(widths) > 1:
+                n_live = jnp.max(jnp.sum(
+                    (active & (weight > 0)).astype(jnp.int32), axis=1))
+                sel = sum((n_live > w).astype(jnp.int32)
+                          for w in widths[:-1])
+
+                def make_branch(w):
+                    def branch(m, c, wt, a):
+                        return fn(m[:, :w], c[:, :w], wt[:, :w], a[:, :w],
+                                  float(cfg.min_separation), out_cap,
+                                  interpret=interpret)
+                    return branch
+
+                return jax.lax.switch(
+                    sel, [make_branch(w) for w in widths],
+                    mean, cov, weight, active)
             return fn(mean, cov, weight, active,
-                      float(cfg.min_separation), out_cap, interpret=True)
-        if pallas_available():
-            return fn(mean, cov, weight, active,
-                      float(cfg.min_separation), out_cap)
+                      float(cfg.min_separation), out_cap,
+                      interpret=interpret)
     return gm_merge_batch(mean, cov, weight, active, cfg.min_separation,
                           out_cap, cfg.distance_metric)
 
