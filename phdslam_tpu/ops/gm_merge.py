@@ -119,11 +119,16 @@ def merge_dispatch(mean, cov, weight, active, cfg, out_cap):
     (2D features, Mahalanobis metric, TPU backend — cfg.pallas_merge),
     otherwise to the XLA while_loop implementation."""
     D = mean.shape[-1]
-    if cfg.pallas_merge and D in (2, 3, 4) and cfg.distance_metric == 0:
+    metric = cfg.distance_metric
+    eligible = metric == 0 and D in (2, 3, 4) or (metric == 1 and D == 2)
+    if cfg.pallas_merge and eligible:
+        import functools as _ft
+
         from .pallas_merge import (gm_merge_pallas_one,
                                    gm_merge_pallas_one_3d,
                                    gm_merge_pallas_one_4d, pallas_available)
-        fn = {2: gm_merge_pallas_one, 3: gm_merge_pallas_one_3d,
+        fn = {2: _ft.partial(gm_merge_pallas_one, metric=metric),
+              3: gm_merge_pallas_one_3d,
               4: gm_merge_pallas_one_4d}[D]
         if cfg.pallas_merge == 2:
             return fn(mean, cov, weight, active,
@@ -153,11 +158,16 @@ def merge_batch_dispatch(mean, cov, weight, active, cfg, out_cap,
     a fraction of the cap.
     """
     D = mean.shape[-1]
-    if cfg.pallas_merge and D in (2, 3, 4) and cfg.distance_metric == 0:
+    metric = cfg.distance_metric
+    eligible = metric == 0 and D in (2, 3, 4) or (metric == 1 and D == 2)
+    if cfg.pallas_merge and eligible:
+        import functools as _ft
+
         from .pallas_merge import (gm_merge_pallas_batch,
                                    gm_merge_pallas_batch_3d,
                                    gm_merge_pallas_batch_4d, pallas_available)
-        fn = {2: gm_merge_pallas_batch, 3: gm_merge_pallas_batch_3d,
+        fn = {2: _ft.partial(gm_merge_pallas_batch, metric=metric),
+              3: gm_merge_pallas_batch_3d,
               4: gm_merge_pallas_batch_4d}[D]
         interpret = cfg.pallas_merge == 2
         if interpret or pallas_available():

@@ -13,8 +13,9 @@ Layout (SoA planes, f32):
   output [P, 8, K]: w, mean_x, mean_y, cov00, cov01, cov11, n_unmerged
                     (plane 6 broadcasts the leftover-candidate count), pad
 
-Only the Mahalanobis metric (distance_metric == 0) and D == 2 are handled;
-callers fall back to the XLA path otherwise.
+Kernels cover D = 2 (Mahalanobis + Hellinger metrics), D = 3 (disparity
+features) and D = 4 (dynamic CV features), Mahalanobis for D > 2; callers
+fall back to the XLA path otherwise.
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation,
-                  block, r_par):
+                  block, r_par, metric=0):
     """Greedy merge for a BLOCK of particles, R principals per iteration.
 
     All per-iteration work is [B, N]-shaped so the VPU's 8x128 lanes are
@@ -61,6 +62,35 @@ def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation,
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (B, n_cand), 1)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (B, out_cap), 1)
 
+    def pair_dist(dx, dy, a00, a01, a11, b00, b01, b11):
+        """Distance of Gaussians (a, b) separated by (dx, dy)."""
+        if metric == 0:
+            # Mahalanobis^2 with averaged covariance (computeMahalDist,
+            # device_math.cuh:308-363)
+            s00 = 0.5 * (a00 + b00)
+            s01 = 0.5 * (a01 + b01)
+            s11 = 0.5 * (a11 + b11)
+            det = jnp.maximum(s00 * s11 - s01 * s01, 1e-30)
+            return (dx * dx * s11 - 2.0 * dx * dy * s01
+                    + dy * dy * s00) / det
+        # Hellinger (device_math.cuh:372-413; mirrors ops.math.hellinger2
+        # incl. its tiny-determinant identity fallback)
+        s00 = a00 + b00
+        s01 = a01 + b01
+        s11 = a11 + b11
+        det_s = s00 * s11 - s01 * s01
+        ok = det_s > 1.1754944e-38
+        det_safe = jnp.where(ok, det_s, 1.0)
+        quad_inv = (dx * dx * s11 - 2.0 * dx * dy * s01
+                    + dy * dy * s00) / det_safe
+        quad_eye = dx * dx + dy * dy
+        eps = -0.25 * jnp.where(ok, quad_inv, quad_eye)
+        det_half = det_s / 4.0
+        det_prod = (a00 * a11 - a01 * a01) * (b00 * b11 - b01 * b01)
+        ratio = jnp.sqrt(jnp.maximum(det_prod, 0.0)) \
+            / jnp.maximum(det_half, 1e-30)
+        return 1.0 - jnp.sqrt(jnp.maximum(ratio, 0.0)) * jnp.exp(eps)
+
     def body(state):
         c, unmerged, ow, omx, omy, o00, o01, o11 = state
 
@@ -82,35 +112,23 @@ def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation,
             p11.append(jnp.sum(ohf * c11, axis=-1, keepdims=True))
             w_act = jnp.where(oh, -1.0, w_act)
 
-        # --- Mahalanobis^2 of every candidate to each principal ------------
-        # (averaged covariance, computeMahalDist device_math.cuh:308-363)
+        # --- distance of every candidate to each principal ------------------
         dists = []
         for r in range(R):
-            s00 = 0.5 * (c00 + p00[r])
-            s01 = 0.5 * (c01 + p01[r])
-            s11 = 0.5 * (c11 + p11[r])
-            det = jnp.maximum(s00 * s11 - s01 * s01, 1e-30)
-            dx = pmx[r] - mx
-            dy = pmy[r] - my
-            dists.append(
-                (dx * dx * s11 - 2.0 * dx * dy * s01 + dy * dy * s00) / det)
+            dists.append(pair_dist(pmx[r] - mx, pmy[r] - my,
+                                   c00, c01, c11, p00[r], p01[r], p11[r]))
 
         # --- validity chain -------------------------------------------------
         # valid[r]: not covered by any valid higher principal. Principal
         # pair distances come straight from the extracted [B, 1] moments
-        # (same averaged-covariance formula, no full-width reductions).
+        # (same formula, no full-width reductions).
         valid = [hass[0]]
         for r in range(1, R):
             v = hass[r]
             for s in range(r):
-                q00 = 0.5 * (p00[s] + p00[r])
-                q01 = 0.5 * (p01[s] + p01[r])
-                q11 = 0.5 * (p11[s] + p11[r])
-                qdet = jnp.maximum(q00 * q11 - q01 * q01, 1e-30)
-                qdx = pmx[s] - pmx[r]
-                qdy = pmy[s] - pmy[r]
-                d_sr = (qdx * qdx * q11 - 2.0 * qdx * qdy * q01
-                        + qdy * qdy * q00) / qdet             # [B, 1]
+                d_sr = pair_dist(pmx[s] - pmx[r], pmy[s] - pmy[r],
+                                 p00[r], p01[r], p11[r],
+                                 p00[s], p01[s], p11[s])      # [B, 1]
                 covered = valid[s] & (d_sr < min_separation)
                 v = v & ~covered
             valid.append(v)
@@ -184,20 +202,20 @@ def pallas_available() -> bool:
 
 
 def gm_merge_pallas_one(mean, cov, weight, active, min_separation, out_cap,
-                        interpret=False, r_par=8):
+                        interpret=False, r_par=8, metric=0):
     """Single-particle variant (mean [N, 2], ...) — vmap-able drop-in for
     ops.gm_merge.gm_merge. Returns (mean[K,2], cov[K,2,2], w[K], n_merged,
     n_dropped)."""
     om, oc, ow, nm, nd = gm_merge_pallas_batch(
         mean[None], cov[None], weight[None], active[None],
-        min_separation, out_cap, interpret, r_par)
+        min_separation, out_cap, interpret, r_par, metric)
     return om[0], oc[0], ow[0], nm[0], nd[0]
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
-                                             "interpret", "r_par"))
+                                             "interpret", "r_par", "metric"))
 def gm_merge_pallas_batch(mean, cov, weight, active, min_separation,
-                          out_cap, interpret=False, r_par=8):
+                          out_cap, interpret=False, r_par=8, metric=0):
     """Drop-in replacement for gm_merge_batch (D == 2, Mahalanobis).
 
     mean [P, N, 2], cov [P, N, 2, 2], weight [P, N], active [P, N] ->
@@ -225,7 +243,7 @@ def gm_merge_pallas_batch(mean, cov, weight, active, min_separation,
     out = pl.pallas_call(
         functools.partial(_merge_kernel, n_cand=N, out_cap=out_cap,
                           min_separation=float(min_separation), block=B,
-                          r_par=max(1, r_par)),
+                          r_par=max(1, r_par), metric=metric),
         out_shape=jax.ShapeDtypeStruct((P_pad, 8, out_cap), jnp.float32),
         grid=(P_pad // B,),
         in_specs=[pl.BlockSpec((B, 7, N), lambda p: (p, 0, 0),

@@ -162,3 +162,22 @@ def test_pallas_merge_4d_matches_xla(seed):
                                rtol=1e-3, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
     np.testing.assert_array_equal(np.asarray(got[4]), np.asarray(ref[4]))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_merge_hellinger_matches_xla(seed):
+    """Hellinger metric in the 2D kernel vs the XLA merge."""
+    from phdslam_tpu.ops.pallas_merge import gm_merge_pallas_batch
+    P, N, K = 4, 64, 16
+    mean, cov, w, act = random_case(P, N, K, seed, cluster=True)
+    ref = gm_merge_batch(mean, cov, w, act, 0.6, K, 1)
+    got = gm_merge_pallas_batch(mean, cov, w, act, 0.6, K,
+                                interpret=INTERPRET, metric=1)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+    np.testing.assert_array_equal(np.asarray(got[4]), np.asarray(ref[4]))
