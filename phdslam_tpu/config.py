@@ -151,12 +151,13 @@ class SlamConfig:
     # merge loop (0 = disabled). Drops only the lowest-weight tail and
     # reports drops via the overflow counter.
     merge_candidate_cap: int = 512
-    # Two-stage candidate selection: keep only the top-T detection lanes per
-    # measurement before the global top-cap pass (0 = disabled). Exact per
-    # measurement (top_k preserves the weight order the global pass uses);
-    # active lanes beyond T are counted into the overflow diagnostic. Cuts
-    # the global top_k from K*(M+1)+M lanes to K+M*T+M (measured 3.2 ms ->
-    # 0.1 ms at P=512, K=128, M=64).
+    # Two-stage candidate selection: per measurement, rank-compact the
+    # first 2T live detection lanes (index order) and keep the heaviest T
+    # of them before the global top-cap pass (0 = disabled). The full live
+    # set whenever a measurement has <= 2T live lanes — the common case at
+    # reference thresholds; drops are counted into the overflow diagnostic.
+    # Cuts the global selection from K*(M+1)+M lanes to K+M*T+M. Raise for
+    # dense worlds where single measurements gate many features.
     detection_topk: int = 16
 
     # ------------------------------------------------------------------

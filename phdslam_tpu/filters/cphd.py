@@ -292,9 +292,6 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
     w_a = jnp.where(in_m, w_nd, jnp.where(near_m, weight, 0.0))
     act_b = det_valid & (w_det >= min_fw)
 
-    cand_w = jnp.concatenate([w_a, w_det.reshape(M * K)], axis=0)
-    cand_act = jnp.concatenate([act_a, act_b.reshape(M * K)], axis=0)
-
     T = cfg.detection_topk
     if use_fast and 0 < T < K:
         # two-stage selection + MXU one-hot row selection, exactly as the
@@ -321,12 +318,16 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
         # scalar top-k + MXU one-hot row selection (see ops.ekf; avoids
         # materializing the [M*K] detection mean/cov grids)
         from ..ops.gm_merge import topk_compact_indices
+        cand_w = jnp.concatenate([w_a, w_det.reshape(M * K)], axis=0)
+        cand_act = jnp.concatenate([act_a, act_b.reshape(M * K)], axis=0)
         idx, cand_w, cand_act, n_compact = topk_compact_indices(
             cand_w, cand_act, cap)
         cand_mean, cand_cov = ekf.select_compact_candidates(
             idx, cand_act, mean, cov, pre, z)
     else:
         mean_det = ekf.ekf_detection_means(pre, mean, z)
+        cand_w = jnp.concatenate([w_a, w_det.reshape(M * K)], axis=0)
+        cand_act = jnp.concatenate([act_a, act_b.reshape(M * K)], axis=0)
         cand_mean = jnp.concatenate([mean, mean_det.reshape(M * K, D)],
                                     axis=0)
         cand_cov = jnp.concatenate(
@@ -421,8 +422,10 @@ def cphd_update(state: FilterState, z, z_mask, consts, cfg: SlamConfig):
         lambda p, m, c, w: _cphd_update_single(p, m, c, w, z, z_mask, consts,
                                                cfg)
     )(state.pose, gm.mean, gm.cov, gm.weight)
-    mg = merge_batch_dispatch(*pre["cand"], cfg, gm.mean.shape[-2],
-                              sorted_prefix=cfg.merge_candidate_cap > 0)
+    K_, M_ = gm.mean.shape[-2], z.shape[0]
+    mg = merge_batch_dispatch(
+        *pre["cand"], cfg, K_,
+        sorted_prefix=0 < cfg.merge_candidate_cap < K_ + M_ * K_)
     upd = jax.vmap(
         lambda mg_t, pre_t, m, c, w: _cphd_update_single_post(
             mg_t, pre_t, m, c, w, cfg)

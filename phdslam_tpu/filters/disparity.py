@@ -399,8 +399,11 @@ def disparity_step(state: DisparityState, z, z_mask, dt, do_predict,
         cp, cl, fw, z, z_mask, cfg))(state.cam_pose, state.cloud,
                                      state.feat_weight)
     K_feat = state.cloud.shape[1]
-    mg = merge_batch_dispatch(*pre["cand"], cfg, K_feat,
-                              sorted_prefix=cfg.merge_candidate_cap > 0)
+    M_ = z.shape[0]
+    n_full = K_feat + M_ * K_feat + M_
+    mg = merge_batch_dispatch(
+        *pre["cand"], cfg, K_feat,
+        sorted_prefix=0 < cfg.merge_candidate_cap < n_full)
     new_cloud, new_w, dlog_w, overflow = jax.vmap(
         lambda mg_t, pre_t, cp, cl, fw, k: _disparity_update_post(
             mg_t, pre_t, cp, cl, fw, k, cfg)

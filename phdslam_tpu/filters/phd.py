@@ -217,12 +217,13 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
         from ..ops.gm_merge import topk_compact_indices
         T = cfg.detection_topk
         if 0 < T < K:
-            # stage 1: the T HEAVIEST live detection lanes per measurement
-            # (ops.gm_merge.select_live_topT), on the UNNORMALIZED pdw grid
-            # — w_det >= min_fw <=> pdw >= min_fw * norm, and norm is a
-            # per-measurement constant so pdw order == w_det order.
-            # Keep-the-heaviest matters: index-order drops at T=16 measured
-            # 0.82 m ATE vs 0.48 m.
+            # stage 1: the heaviest T of the first 2T LIVE detection lanes
+            # per measurement (ops.gm_merge.select_live_topT), on the
+            # UNNORMALIZED pdw grid — w_det >= min_fw <=> pdw >= min_fw *
+            # norm, and norm is a per-measurement constant so pdw order ==
+            # w_det order. Keep-the-heaviest matters: pure index-order
+            # drops at T=16 measured 0.82 m ATE vs 0.48 m; beyond-2T live
+            # lanes (rare; counted into overflow) still drop by index.
             from ..ops.gm_merge import select_live_topT, topcap_sort
             vals_d, idx_d, n_live_d, n_kept_d = select_live_topT(
                 pdw, min_fw * norm, T)
@@ -381,8 +382,13 @@ def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
 
     from ..ops.gm_merge import merge_batch_dispatch
     cm, cc, cw, ca = pre["cand"]
-    mg = merge_batch_dispatch(cm, cc, cw, ca, cfg, K,
-                              sorted_prefix=cfg.merge_candidate_cap > 0)
+    # prefix-sortedness holds only when a compaction actually ran: with
+    # cap >= the full lane count, compact_candidates returns the ORIGINAL
+    # (unsorted) lane layout
+    n_full = K + z.shape[0] * K + z.shape[0]
+    mg = merge_batch_dispatch(
+        cm, cc, cw, ca, cfg, K,
+        sorted_prefix=0 < cfg.merge_candidate_cap < n_full)
 
     return jax.vmap(
         lambda mg_t, pre_t, m, c, w: _update_single_post(mg_t, pre_t, m, c,

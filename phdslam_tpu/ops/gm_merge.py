@@ -172,11 +172,14 @@ def merge_batch_dispatch(mean, cov, weight, active, cfg, out_cap,
         interpret = cfg.pallas_merge == 2
         if interpret or pallas_available():
             N = mean.shape[1]
+            # narrower variants at lane-tile multiples, ALWAYS ending with
+            # the full width so no live count can be truncated
             widths = []
-            for frac in (4, 2, 1):
+            for frac in (4, 2):
                 w = -(-N // frac // 128) * 128          # ceil to lane tile
-                if 0 < w <= N and w not in widths:
+                if 0 < w < N and w not in widths:
                     widths.append(w)
+            widths.append(N)
             if sorted_prefix and len(widths) > 1:
                 n_live = jnp.max(jnp.sum(
                     (active & (weight > 0)).astype(jnp.int32), axis=1))

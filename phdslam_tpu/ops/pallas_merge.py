@@ -27,6 +27,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
+# particle block size (sweep knob; read ONCE at import — a value read
+# inside a jitted function is frozen at first trace anyway). Measured
+# invariant 8-64 at P=10240: the kernel is VPU-reduction bound.
+_MERGE_BLOCK = int(os.environ.get("PHDSLAM_MERGE_BLOCK", "8"))
+
 
 def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation,
                   block, r_par, metric=0):
@@ -168,6 +175,13 @@ def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation,
             unassigned = unassigned * (1.0 - self_f)
             n_emit = n_emit + can_emit.astype(jnp.int32)
 
+        # guaranteed progress: a row with budget left that emitted nothing
+        # has no usable principal (all remaining weights NaN or <= 0 —
+        # jnp.max(w_act) > 0 is False) and would spin the while_loop
+        # forever; drop its remaining lanes (the NaN surfaces in the
+        # particle weights where the debug mode catches it)
+        stalled = (n_emit == 0) & (c < out_cap)               # [B, 1]
+        unassigned = jnp.where(stalled, 0.0, unassigned)
         return (c + n_emit, unassigned, ow, omx, omy, o00, o01, o11)
 
     def cond(state):
@@ -232,9 +246,7 @@ def gm_merge_pallas_batch(mean, cov, weight, active, min_separation,
     # Particle-block vectorization: fill the VPU's sublanes with 8 particles
     # per program instead of one. Pad P up to a block multiple with inert
     # (act = 0) particles.
-    import os
-    B = int(os.environ.get("PHDSLAM_MERGE_BLOCK", "8"))
-    B = B if P >= B else P
+    B = _MERGE_BLOCK if P >= _MERGE_BLOCK else P
     P_pad = ((P + B - 1) // B) * B
     if P_pad != P:
         packed = jnp.concatenate(
@@ -373,6 +385,10 @@ def _merge_kernel_3d(in_ref, out_ref, *, n_cand, out_cap, min_separation,
             unassigned = unassigned * (1.0 - self_f)
             n_emit = n_emit + can_emit.astype(jnp.int32)
 
+        # guaranteed progress (see the 2D kernel): rows with budget left
+        # that emitted nothing have no usable principal — drop their lanes
+        stalled = (n_emit == 0) & (cnt < out_cap)             # [B, 1]
+        unassigned = jnp.where(stalled, 0.0, unassigned)
         return (cnt + n_emit, unassigned, ow, om, oc)
 
     def cond(state):
@@ -419,9 +435,7 @@ def gm_merge_pallas_batch_3d(mean, cov, weight, active, min_separation,
         cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
         cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2]], axis=1)
 
-    import os
-    B = int(os.environ.get("PHDSLAM_MERGE_BLOCK", "8"))
-    B = B if P >= B else P
+    B = _MERGE_BLOCK if P >= _MERGE_BLOCK else P
     P_pad = ((P + B - 1) // B) * B
     if P_pad != P:
         packed = jnp.concatenate(
@@ -584,6 +598,9 @@ def _merge_kernel_4d(in_ref, out_ref, *, n_cand, out_cap, min_separation,
             unassigned = unassigned * (1.0 - self_f)
             n_emit = n_emit + can_emit.astype(jnp.int32)
 
+        # guaranteed progress (see the 2D kernel)
+        stalled = (n_emit == 0) & (cnt < out_cap)             # [B, 1]
+        unassigned = jnp.where(stalled, 0.0, unassigned)
         return (cnt + n_emit, unassigned, ow, om, oc)
 
     def cond(state):
@@ -627,9 +644,7 @@ def gm_merge_pallas_batch_4d(mean, cov, weight, active, min_separation,
         + [cov[..., a, b] for a, b in _PAIRS4]
     packed = jnp.stack(planes, axis=1)                  # [P, 16, N]
 
-    import os
-    B = int(os.environ.get("PHDSLAM_MERGE_BLOCK", "8"))
-    B = B if P >= B else P
+    B = _MERGE_BLOCK if P >= _MERGE_BLOCK else P
     P_pad = ((P + B - 1) // B) * B
     if P_pad != P:
         packed = jnp.concatenate(

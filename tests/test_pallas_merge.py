@@ -181,3 +181,59 @@ def test_pallas_merge_hellinger_matches_xla(seed):
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
     np.testing.assert_array_equal(np.asarray(got[4]), np.asarray(ref[4]))
+
+
+def test_merge_terminates_on_nan_weights():
+    """A NaN/non-positive active weight must not hang the while_loop (the
+    per-particle counter only advances on emission; stalled rows drop)."""
+    from phdslam_tpu.ops.pallas_merge import gm_merge_pallas_batch
+    P, N, K = 2, 64, 16
+    mean, cov, w, act = random_case(P, N, K, 0)
+    w = np.array(w, copy=True)
+    w[0, :] = np.nan          # whole particle NaN
+    w[1, :8] = 0.0            # some zero-weight active lanes
+    out = gm_merge_pallas_batch(jnp.asarray(mean), jnp.asarray(cov),
+                                jnp.asarray(w), jnp.asarray(act), 4.0, K,
+                                interpret=INTERPRET)
+    # it RETURNED (no hang); the healthy particle still merged
+    assert int(out[3][1]) > 0
+
+
+def test_width_switch_covers_non_tile_widths():
+    """merge_batch_dispatch's lax.switch must include the FULL width as a
+    branch even when N is not a lane-tile multiple."""
+    from phdslam_tpu.config import SlamConfig
+    from phdslam_tpu.ops.gm_merge import gm_merge_batch, merge_batch_dispatch
+    cfg = SlamConfig(min_separation=4.0, distance_metric=0, pallas_merge=2)
+    P, N, K = 2, 300, 16                   # N = 300: not a multiple of 128
+    mean, cov, w, act = random_case(P, N, K, 1)
+    mean, cov, w = mean[:, :N], cov[:, :N], w[:, :N]
+    act = jnp.ones((P, N), bool)           # live everywhere -> needs full N
+    ref = gm_merge_batch(mean, cov, w, act, 4.0, K, 0)
+    got = merge_batch_dispatch(mean, cov, w, act, cfg, K,
+                               sorted_prefix=True)
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_uncompacted_layout_not_width_switched():
+    """With merge_candidate_cap >= the full lane count, compact_candidates
+    returns the ORIGINAL (unsorted) layout; the update must not claim
+    sorted_prefix and silently slice off scattered active lanes."""
+    import copy
+
+    from phdslam_tpu.filters.phd import _batched_update
+    from tests.test_selection_pipeline import make_cfg, random_batch
+
+    cfg = make_cfg(detection_topk=0, merge_candidate_cap=10 ** 6,
+                   pallas_merge=2)
+    cfg0 = copy.deepcopy(cfg)
+    cfg0.pallas_merge = 0                 # XLA reference path
+    pose, mean, cov, w, z, zm = random_batch(5)
+    out_a = _batched_update(pose, mean, cov, w, z, zm, cfg)
+    out_b = _batched_update(pose, mean, cov, w, z, zm, cfg0)
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-4, atol=1e-4)

@@ -106,7 +106,6 @@ def main(n_dev=8, p_per_dev=128):
     comps = {}
     name = None
     for line in hlo.splitlines():
-        m = re.match(r"(?:ENTRY )?%?([\w\.\-]+) (?:\([^)]*\) -> .*)?\{", line)
         if line.rstrip().endswith("{") and ("(" in line):
             m2 = re.match(r"\s*(?:ENTRY\s+)?%?([\w\.\-]+)", line)
             name = m2.group(1) if m2 else None
