@@ -159,6 +159,11 @@ class SlamConfig:
     # Cuts the global selection from K*(M+1)+M lanes to K+M*T+M. Raise for
     # dense worlds where single measurements gate many features.
     detection_topk: int = 16
+    # Fused detection+top-T Pallas kernel (ops/pallas_detect.py): 0 = off
+    # (XLA grid + payload sort), 1 = auto (Mosaic kernel on TPU backends),
+    # 2 = force interpret mode (CPU testing). Only engages on the fast
+    # path with 0 < detection_topk < max_features.
+    pallas_detect: int = 1
 
     # ------------------------------------------------------------------
     @property
@@ -270,6 +275,7 @@ _OPTION_MAP = {
     "merge_candidate_cap": "merge_candidate_cap",
     "detection_topk": "detection_topk",
     "pallas_merge": "pallas_merge",
+    "pallas_detect": "pallas_detect",
 }
 
 _LINE_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*?)\s*$")

@@ -97,13 +97,20 @@ def predict(state: FilterState, control, dt, cfg: SlamConfig,
 # ----------------------------------------------------------------------------
 
 def _update_single_pre(pose, mean, cov, weight, z, z_mask,
-                       cfg: SlamConfig, key=None, force_full=False):
+                       cfg: SlamConfig, key=None, force_full=False,
+                       det=None):
     """Pre-merge half of the single-particle GM-PHD update
     (phdUpdateKernel, phdfilter.cu:2083-2321): in-range partition, EKF
     pre-update, normalizers, weights and the compacted merge-candidate set.
 
     Returns a dict consumed by :func:`_update_single_post` (the merge runs
     between the halves so the batched path can hoist it out of vmap).
+
+    ``det`` optionally carries this particle's pre-computed fused
+    detection+top-T results (vals_d [M, T], idx_d [M, T], norm [M],
+    count_d [M]) from ops.pallas_detect.detection_topT_batch — hoisted to
+    batch level by _batched_update like the merge; when given, the [M, K]
+    detection grid is never formed here.
     """
     K, D = mean.shape
     M = z.shape[0]
@@ -143,6 +150,17 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
                           jnp.exp(logw_part - log_norm[:, None]), 0.0)
         w_birth = jnp.where(
             z_mask, jnp.exp(safe_log(cfg.birth_weight) - log_norm), 0.0)
+    elif det is not None:
+        # fused-kernel route: the [M, K] grid lived only in the detection
+        # kernel's VMEM; per-measurement normalizers and the top-T lanes
+        # arrive pre-computed
+        mean_det = None
+        log_like = None
+        pdw = None
+        norm = det[2]
+        log_norm = jnp.log(norm)
+        w_det = None
+        w_birth = jnp.where(z_mask, cfg.birth_weight / norm, 0.0)
     else:
         # linear-domain normalizer — the reference's own arithmetic
         # (phdUpdateKernel sums exp(w_partial) linearly, :2190-2223) at one
@@ -185,8 +203,14 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
     else:
         # Vo empty-map weighting (:2264-2280)
         cn_predict = jnp.sum(jnp.where(in_m, weight, 0.0))
-        cn_det = (jnp.sum(jnp.sum(pdw, axis=1) / norm) if w_det is None
-                  else jnp.sum(w_det))
+        if w_det is not None:
+            cn_det = jnp.sum(w_det)
+        elif pdw is not None:
+            cn_det = jnp.sum(jnp.sum(pdw, axis=1) / norm)
+        else:
+            # det route: sum_k pdw = norm - clutter - birth by construction
+            cn_det = jnp.sum(
+                (norm - cfg.clutter_density - cfg.birth_weight) / norm)
         cn_update = jnp.sum(w_nd) + cn_det + jnp.sum(w_birth)
         dlog_w = n_valid_z * cfg.clutter_density + cn_update - cn_predict \
             - cfg.clutter_rate
@@ -217,16 +241,21 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
         from ..ops.gm_merge import topk_compact_indices
         T = cfg.detection_topk
         if 0 < T < K:
-            # stage 1: the heaviest T of the first 2T LIVE detection lanes
-            # per measurement (ops.gm_merge.select_live_topT), on the
-            # UNNORMALIZED pdw grid — w_det >= min_fw <=> pdw >= min_fw *
-            # norm, and norm is a per-measurement constant so pdw order ==
-            # w_det order. Keep-the-heaviest matters: pure index-order
-            # drops at T=16 measured 0.82 m ATE vs 0.48 m; beyond-2T live
-            # lanes (rare; counted into overflow) still drop by index.
+            # stage 1: the heaviest T LIVE detection lanes per measurement,
+            # on the UNNORMALIZED pdw grid — w_det >= min_fw <=> pdw >=
+            # min_fw * norm, and norm is a per-measurement constant so pdw
+            # order == w_det order. Keep-the-heaviest matters: pure
+            # index-order drops at T=16 measured 0.82 m ATE vs 0.48 m.
+            # Either pre-computed by the fused Pallas detection kernel
+            # (det route) or via one payload sort (select_live_topT).
             from ..ops.gm_merge import select_live_topT, topcap_sort
-            vals_d, idx_d, n_live_d, n_kept_d = select_live_topT(
-                pdw, min_fw * norm, T)
+            if det is not None:
+                vals_d, idx_d, _, count_d = det
+                n_live_d = jnp.sum(count_d)
+                n_kept_d = jnp.sum(jnp.minimum(count_d, T))
+            else:
+                vals_d, idx_d, n_live_d, n_kept_d = select_live_topT(
+                    pdw, min_fw * norm, T)
             flat_d = K + jnp.arange(M, dtype=jnp.int32)[:, None] * K + idx_d
             w_sel = jnp.where(vals_d > 0, vals_d / norm[:, None], 0.0)
             act_sel = vals_d > 0
@@ -252,10 +281,20 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
                 [act_a, act_b_full.reshape(M * K), act_c], axis=0)
             idx, cand_w, sel_act, n_compact = topk_compact_indices(
                 cand_w, cand_act, cap)
-        cand_mean, cand_cov = ekf.select_compact_candidates(
-            idx, sel_act, mean, cov, pre, z, b_mean, b_cov)
-        cand_act = sel_act
-        variance = None
+        # the row gather itself is DEFERRED: _batched_update runs it at
+        # batch level on the Pallas one-hot gather kernel (under XLA-only
+        # vmap the one-hot operand materializes at [P, cap, K] — 2.7 GB /
+        # 11.5 ms at P=10240); single-particle callers finish with the XLA
+        # fallback via _finish_candidates
+        k_eff, m_eff, is_p, is_d = ekf.candidate_gather_indices(
+            idx, K, M, True)
+        t_k, t_m = ekf.candidate_tables_T(mean, cov, pre, z, b_mean, b_cov)
+        gather = dict(k_eff=k_eff, m_eff=m_eff, is_p=is_p, is_d=is_d,
+                      sel_act=sel_act, cand_w=cand_w, t_k=t_k, t_m=t_m)
+        pre_out = dict(cand=None, gather=gather, dlog_w=dlog_w, out_m=out_m,
+                       n_compact=n_compact, variance=None, log_like=None,
+                       mean_det=None, det_valid=None)
+        return pre_out
     else:
         cand_mean = jnp.concatenate(
             [mean, mean_det.reshape(M * K, D), b_mean], axis=0)
@@ -289,12 +328,62 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
     # never materializes them as outputs
     keep_grids = cfg.particle_weighting == 2
     pre_out = dict(cand=(cand_mean, cand_cov, cand_w, cand_act),
+                   gather=None,
                    dlog_w=dlog_w, out_m=out_m, n_compact=n_compact,
                    variance=variance,
                    log_like=log_like if keep_grids else None,
                    mean_det=mean_det if keep_grids else None,
                    det_valid=det_valid if keep_grids else None)
     return pre_out
+
+
+def _finish_gather_planes(pre_out, D, batched=False):
+    """Complete a deferred candidate gather (fast path) in PLANE form:
+    fetch the selected table rows ([C, cap] transposed layout) and return
+    (mean_planes, cov_planes, cand_w, sel_act).
+
+    ``batched=True`` routes the row fetch through the Pallas transposed
+    one-hot gather kernel (ops/pallas_select.py); single-particle callers
+    use the XLA one-hot matmul fallback.
+    """
+    g = pre_out["gather"]
+    if batched:
+        from ..ops.pallas_select import onehot_cols_batch as rows
+    else:
+        from ..ops.pallas_select import onehot_cols_xla as rows
+    r_k = rows(g["k_eff"], g["t_k"])
+    r_m = rows(g["m_eff"], g["t_m"])
+    mean_pl, cov_pl = ekf.combine_selected_planes(
+        r_k, r_m, g["is_p"], g["is_d"], g["sel_act"], D, True)
+    return mean_pl, cov_pl, g["cand_w"], g["sel_act"]
+
+
+def _finish_candidates(pre_out, D, batched=False):
+    """Array-form completion of a deferred gather: (cand_mean [..., cap, D],
+    cand_cov [..., cap, D, D], cand_w, cand_act). Prefer the packed route
+    (_finish_candidates_packed) at batch level — these [..., cap, D]-shaped
+    arrays pad 32-64x under TPU (8, 128) tiling."""
+    mean_pl, cov_pl, cand_w, sel_act = _finish_gather_planes(
+        pre_out, D, batched)
+    cand_mean = jnp.stack(mean_pl, axis=-1)
+    full = [[None] * D for _ in range(D)]
+    i = 0
+    for a in range(D):
+        for b in range(a, D):
+            full[a][b] = full[b][a] = cov_pl[i]
+            i += 1
+    cand_cov = jnp.stack([jnp.stack(row, axis=-1) for row in full], axis=-2)
+    return cand_mean, cand_cov, cand_w, sel_act
+
+
+def _finish_candidates_packed(pre_out, D, batched=True):
+    """Packed completion of a deferred gather: SoA planes [P, C, cap]
+    (w, act, means, upper-triangle covs) ready for
+    ops.gm_merge.merge_batch_dispatch_packed."""
+    mean_pl, cov_pl, cand_w, sel_act = _finish_gather_planes(
+        pre_out, D, batched)
+    planes = [cand_w, sel_act.astype(cand_w.dtype)] + mean_pl + cov_pl
+    return jnp.stack(planes, axis=-2)
 
 
 def _update_single_post(mg, pre_out, mean, cov, weight, cfg: SlamConfig):
@@ -359,36 +448,91 @@ def _update_single(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
     overflow[, variance])."""
     pre_out = _update_single_pre(pose, mean, cov, weight, z, z_mask, cfg,
                                  key)
-    mg = merge_dispatch(*pre_out["cand"], cfg, mean.shape[0])
+    cand = (pre_out["cand"] if pre_out["gather"] is None
+            else _finish_candidates(pre_out, mean.shape[1]))
+    mg = merge_dispatch(*cand, cfg, mean.shape[0])
     return _update_single_post(mg, pre_out, mean, cov, weight, cfg)
+
+
+def _detection_planes_single(pose, mean, cov, weight, cfg: SlamConfig):
+    """Input planes for the fused detection kernel (ops/pallas_detect.py):
+    r, bearing, si00, si01, si11, pref — pref pre-folds pd * w /
+    (2 pi sqrt det S) and the in-range mask exactly as
+    ekf.ekf_detection_linear + the det_valid gate do."""
+    cls = measurement.classify_in_range(pose, mean, weight, cfg)
+    in_m = cls == measurement.IN_RANGE
+    pre = ekf.ekf_preupdate(pose, mean, cov, cfg)
+    pref = jnp.where(
+        in_m,
+        pre.pd * weight / (2.0 * jnp.pi
+                           * jnp.sqrt(jnp.maximum(pre.det_S, 1e-30))),
+        0.0)
+    return jnp.stack([pre.r, pre.bearing, pre.si00, pre.si01, pre.si11,
+                      pref], axis=0)
 
 
 def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
                     keys=None):
-    """All-particle update with the merge hoisted OUT of the vmap.
+    """All-particle update with the merge, the candidate gather and the
+    fused detection+top-T kernel hoisted OUT of the vmap.
 
-    Calling the Pallas merge inside vmap degenerates to one particle per
-    program (the kernel's particle-block never engages, measured 5x slower);
-    here the vmapped pre/post halves wrap one batch-level merge call.
+    Calling a Pallas kernel inside vmap degenerates to one particle per
+    program (its particle-block never engages, measured 5x slower for the
+    merge); here the vmapped pre/post halves wrap batch-level kernel calls.
     """
     K = mean.shape[-2]
     D = mean.shape[-1]
+    M = z.shape[0]
+    T = cfg.detection_topk
+    cap = cfg.merge_candidate_cap
+    slow = (cfg.compute_variance and keys is not None) \
+        or cfg.particle_weighting == 2
+    use_fast = (not slow) and 0 < cap < (K + M * K + M)
+    det = None
+    if use_fast and 0 < T < K and cfg.pallas_detect:
+        from ..ops.pallas_detect import detection_topT_batch
+        from ..ops.pallas_merge import pallas_available
+        interp = cfg.pallas_detect == 2
+        if interp or pallas_available():
+            planes = jax.vmap(lambda p, m, c, w: _detection_planes_single(
+                p, m, c, w, cfg))(pose, mean, cov, weight)
+            z4 = jnp.stack([z[:, 0], z[:, 1], z_mask.astype(z.dtype),
+                            jnp.zeros_like(z[:, 0])], axis=1)
+            det = detection_topT_batch(
+                planes, z4, T, float(cfg.min_feature_weight),
+                float(cfg.clutter_density + cfg.birth_weight),
+                interpret=interp)
+
     if keys is not None:
         pre = jax.vmap(lambda p, m, c, w, k: _update_single_pre(
             p, m, c, w, z, z_mask, cfg, k))(pose, mean, cov, weight, keys)
+    elif det is not None:
+        pre = jax.vmap(lambda p, m, c, w, dv, di, dn, dc: _update_single_pre(
+            p, m, c, w, z, z_mask, cfg, det=(dv, di, dn, dc)))(
+            pose, mean, cov, weight, *det)
     else:
         pre = jax.vmap(lambda p, m, c, w: _update_single_pre(
             p, m, c, w, z, z_mask, cfg))(pose, mean, cov, weight)
 
-    from ..ops.gm_merge import merge_batch_dispatch
-    cm, cc, cw, ca = pre["cand"]
+    from ..ops.gm_merge import merge_batch_dispatch, \
+        merge_batch_dispatch_packed
     # prefix-sortedness holds only when a compaction actually ran: with
     # cap >= the full lane count, compact_candidates returns the ORIGINAL
     # (unsorted) lane layout
     n_full = K + z.shape[0] * K + z.shape[0]
-    mg = merge_batch_dispatch(
-        cm, cc, cw, ca, cfg, K,
-        sorted_prefix=0 < cfg.merge_candidate_cap < n_full)
+    sorted_prefix = 0 < cfg.merge_candidate_cap < n_full
+    if pre["gather"] is not None:
+        # deferred gather: batch-level Pallas one-hot row fetch (inside the
+        # vmap the kernel would degenerate to one particle per program),
+        # kept in packed SoA planes end-to-end — [P, cap, D]-shaped
+        # intermediates pad 32-64x under (8, 128) tiling
+        packed = _finish_candidates_packed(pre, D, batched=True)
+        mg = merge_batch_dispatch_packed(packed, D, cfg, K,
+                                         sorted_prefix=sorted_prefix)
+    else:
+        cm, cc, cw, ca = pre["cand"]
+        mg = merge_batch_dispatch(cm, cc, cw, ca, cfg, K,
+                                  sorted_prefix=sorted_prefix)
 
     return jax.vmap(
         lambda mg_t, pre_t, m, c, w: _update_single_post(mg_t, pre_t, m, c,

@@ -207,9 +207,177 @@ def ekf_detection_means_at(pre: PreUpdate, mean, z, m_src, k_src):
     return mean[k_src] + jnp.einsum("cij,cj->ci", pre.gain[k_src], innov)
 
 
+def candidate_gather_indices(idx, K, M, has_birth):
+    """Decompose flat candidate-lane ids into source-row indices + masks.
+
+    Lane layout: [K persistent | M*K detections | M births (optional)].
+    Elementwise on any idx shape. Returns (k_eff in [0, K), m_eff in
+    [0, M), is_p, is_d) — k_eff/m_eff are the rows to fetch from the
+    per-particle K-table and M-table.
+    """
+    is_p = idx < K
+    is_d = (idx >= K) & (idx < K + M * K)
+    d_idx = jnp.clip(idx - K, 0, M * K - 1)
+    k_src = d_idx % K
+    m_src = d_idx // K
+    p_idx = jnp.clip(idx, 0, K - 1)
+    k_eff = jnp.where(is_d, k_src, p_idx)
+    if has_birth:
+        b_idx = jnp.clip(idx - K - M * K, 0, M - 1)
+        m_eff = jnp.where(is_d, m_src, b_idx)
+    else:
+        m_eff = m_src
+    return k_eff, m_eff, is_p, is_d
+
+
+def candidate_tables(mean, cov, pre: PreUpdate, z, b_mean=None, b_cov=None):
+    """Build the per-particle gather source tables.
+
+    t_k [K, D + 2*D^2 + 2*D + 2]: mean | cov | cov_upd | gain | r | bearing.
+    t_m [M, 2 (+ D + D^2)]: z | birth mean | birth cov (when births are in
+    the lane layout). Row gathers from these run at batch level
+    (ops.pallas_select.onehot_rows_batch) so the Pallas kernel engages.
+    """
+    K, D = mean.shape
+    M = z.shape[0]
+    DD, G = D * D, D * 2
+    t_k = jnp.concatenate(
+        [mean, cov.reshape(K, DD), pre.cov_upd.reshape(K, DD),
+         pre.gain.reshape(K, G), pre.r[:, None], pre.bearing[:, None]],
+        axis=1)
+    if b_mean is not None:
+        t_m = jnp.concatenate([z, b_mean, b_cov.reshape(M, DD)], axis=1)
+    else:
+        t_m = z
+    return t_k, t_m
+
+
+def combine_selected(r_k, r_m, is_p, is_d, sel_act, D, has_birth):
+    """Assemble candidate means/covariances from gathered table rows.
+
+    Elementwise over the lane axis; works on [cap, cols] or batched
+    [P, cap, cols] rows. Returns (cand_mean [..., cap, D],
+    cand_cov [..., cap, D, D]) with empty lanes sanitized to (0, I).
+    """
+    DD, G = D * D, D * 2
+    dtype = r_k.dtype
+    lead = r_k.shape[:-1]
+
+    o = 0
+    mean_k = r_k[..., o:o + D]; o += D
+    cov_k = r_k[..., o:o + DD].reshape(lead + (D, D)); o += DD
+    cov_upd_k = r_k[..., o:o + DD].reshape(lead + (D, D)); o += DD
+    gain_k = r_k[..., o:o + G].reshape(lead + (D, 2)); o += G
+    range_k = r_k[..., o]; o += 1
+    bearing_k = r_k[..., o]
+
+    z_m = r_m[..., 0:2]
+    innov_r = z_m[..., 0] - range_k
+    innov_b = wrap_angle(z_m[..., 1] - bearing_k)
+    # detection mean = mean_k + gain . innov (unrolled tiny contraction)
+    mean_d = mean_k + gain_k[..., :, 0] * innov_r[..., None] \
+        + gain_k[..., :, 1] * innov_b[..., None]
+
+    if has_birth:
+        b_mean_m = r_m[..., 2:2 + D]
+        b_cov_m = r_m[..., 2 + D:2 + D + DD].reshape(lead + (D, D))
+        sel_mean = jnp.where(is_p[..., None], mean_k,
+                             jnp.where(is_d[..., None], mean_d, b_mean_m))
+        sel_cov = jnp.where(is_p[..., None, None], cov_k,
+                            jnp.where(is_d[..., None, None], cov_upd_k,
+                                      b_cov_m))
+    else:
+        sel_mean = jnp.where(is_p[..., None], mean_k, mean_d)
+        sel_cov = jnp.where(is_p[..., None, None], cov_k, cov_upd_k)
+
+    # sanitize empty lanes (padded births can be non-finite; 0 * NaN would
+    # poison the merge's masked reductions)
+    eye = jnp.eye(D, dtype=dtype)
+    cand_mean = jnp.where(sel_act[..., None], sel_mean, 0.0)
+    cand_cov = jnp.where(sel_act[..., None, None], sel_cov, eye)
+    return cand_mean, cand_cov
+
+
+def candidate_tables_T(mean, cov, pre: PreUpdate, z, b_mean=None,
+                       b_cov=None):
+    """Transposed gather tables: t_k [Ck, K], t_m [Cm, M].
+
+    Row order matches :func:`candidate_tables`'s column order (mean | cov
+    row-major | cov_upd | gain row-major | r | bearing, and z | birth mean
+    | birth cov). The transposed form keeps the feature axis MINOR so the
+    gathered rows come back as [C, cap] planes: a [cap, C~17] result under
+    TPU (8, 128) tiling pads its minor dim 17 -> 128 (7.5x HBM expansion,
+    part of a measured 17.7 GB temp blowup at P=10240), while [C, cap]
+    pads only 17 -> 24 sublanes.
+    """
+    K, D = mean.shape
+    rows_k = [mean[:, i] for i in range(D)]
+    rows_k += [cov[:, a, b] for a in range(D) for b in range(D)]
+    rows_k += [pre.cov_upd[:, a, b] for a in range(D) for b in range(D)]
+    rows_k += [pre.gain[:, i, j] for i in range(D) for j in range(2)]
+    rows_k += [pre.r, pre.bearing]
+    t_k = jnp.stack(rows_k, axis=0)
+    rows_m = [z[:, 0], z[:, 1]]
+    if b_mean is not None:
+        rows_m += [b_mean[:, i] for i in range(D)]
+        rows_m += [b_cov[:, a, b] for a in range(D) for b in range(D)]
+    t_m = jnp.stack(rows_m, axis=0)
+    return t_k, t_m
+
+
+def combine_selected_planes(r_k, r_m, is_p, is_d, sel_act, D, has_birth):
+    """Plane-form candidate assembly from TRANSPOSED gathered rows.
+
+    r_k [..., Ck, cap], r_m [..., Cm, cap] (from candidate_tables_T +
+    ops.pallas_select.onehot_cols_batch); masks [..., cap]. Returns
+    (mean_planes: D arrays [..., cap], cov_planes: D*(D+1)/2 arrays
+    [..., cap] in row-major upper-triangle order) — every intermediate is
+    a [..., cap] plane, so nothing hits the 64-128x padding of
+    [..., cap, D]-shaped temps under (8, 128) tiling.
+    """
+    o_cov = D
+    o_cov_upd = D + D * D
+    o_gain = D + 2 * D * D
+    o_r = D + 2 * D * D + 2 * D
+    o_bear = o_r + 1
+
+    take_k = lambda c: r_k[..., c, :]
+    take_m = lambda c: r_m[..., c, :]
+
+    innov_r = take_m(0) - take_k(o_r)
+    innov_b = wrap_angle(take_m(1) - take_k(o_bear))
+
+    mean_planes = []
+    for i in range(D):
+        mean_k = take_k(i)
+        mean_d = mean_k + take_k(o_gain + 2 * i) * innov_r \
+            + take_k(o_gain + 2 * i + 1) * innov_b
+        if has_birth:
+            mp = jnp.where(is_p, mean_k,
+                           jnp.where(is_d, mean_d, take_m(2 + i)))
+        else:
+            mp = jnp.where(is_p, mean_k, mean_d)
+        mean_planes.append(jnp.where(sel_act, mp, 0.0))
+
+    cov_planes = []
+    for a in range(D):
+        for b in range(a, D):
+            ck = take_k(o_cov + a * D + b)
+            cu = take_k(o_cov_upd + a * D + b)
+            if has_birth:
+                cb_ = take_m(2 + D + a * D + b)
+                cp = jnp.where(is_p, ck, jnp.where(is_d, cu, cb_))
+            else:
+                cp = jnp.where(is_p, ck, cu)
+            cov_planes.append(
+                jnp.where(sel_act, cp, 1.0 if a == b else 0.0))
+    return mean_planes, cov_planes
+
+
 def select_compact_candidates(idx, sel_act, mean, cov, pre: PreUpdate, z,
                               b_mean=None, b_cov=None):
-    """Gather the surviving merge-candidate lanes' means/covariances.
+    """Gather the surviving merge-candidate lanes' means/covariances
+    (single particle).
 
     Lane layout: [K persistent | M*K detections | M births (optional)].
     ``idx``/``sel_act`` come from a scalar weight top-k
@@ -223,74 +391,21 @@ def select_compact_candidates(idx, sel_act, mean, cov, pre: PreUpdate, z,
     All sources are small per-particle tables (K persistent rows, M
     measurement rows), and detection means are computed post-selection for
     the surviving lanes only, so neither the [M, K, D] mean grid nor any
-    [N, D, D] candidate covariance ever hits HBM.
+    [N, D, D] candidate covariance ever hits HBM. Inside a vmap, prefer
+    the batch-level route (candidate_tables + onehot_rows_batch +
+    combine_selected — see filters/phd.py::_batched_update): under XLA the
+    one-hot operand itself must materialize ([P, cap, K] = 2.7 GB at
+    P=10240, measured 11.5 ms); the Pallas gather kernel keeps it in VMEM.
     """
     K, D = mean.shape
     M = z.shape[0]
-    cap = idx.shape[0]
-    dtype = mean.dtype
     has_birth = b_mean is not None
-
-    is_p = idx < K
-    is_d = (idx >= K) & (idx < K + M * K)
-    d_idx = jnp.clip(idx - K, 0, M * K - 1)
-    k_src = d_idx % K
-    m_src = d_idx // K
-    p_idx = jnp.clip(idx, 0, K - 1)
-
-    k_eff = jnp.where(is_d, k_src, p_idx)            # [cap] in [0, K)
-    oh_k = (k_eff[:, None] == jnp.arange(K)[None, :]).astype(dtype)
-
-    DD, G = D * D, D * 2
-    t_k = jnp.concatenate(
-        [mean, cov.reshape(K, DD), pre.cov_upd.reshape(K, DD),
-         pre.gain.reshape(K, G), pre.r[:, None], pre.bearing[:, None]],
-        axis=1)
-    r_k = oh_k @ t_k                                 # [cap, cols]
-
-    o = 0
-    mean_k = r_k[:, o:o + D]; o += D
-    cov_k = r_k[:, o:o + DD].reshape(cap, D, D); o += DD
-    cov_upd_k = r_k[:, o:o + DD].reshape(cap, D, D); o += DD
-    gain_k = r_k[:, o:o + G].reshape(cap, D, 2); o += G
-    range_k = r_k[:, o]; o += 1
-    bearing_k = r_k[:, o]
-
-    if has_birth:
-        b_idx = jnp.clip(idx - K - M * K, 0, M - 1)
-        m_eff = jnp.where(is_d, m_src, b_idx)        # [cap] in [0, M)
-        t_m = jnp.concatenate([z, b_mean, b_cov.reshape(M, DD)], axis=1)
-    else:
-        m_eff = m_src
-        t_m = z
-    oh_m = (m_eff[:, None] == jnp.arange(M)[None, :]).astype(dtype)
-    r_m = oh_m @ t_m
-    z_m = r_m[:, 0:2]
-
-    innov_r = z_m[:, 0] - range_k
-    innov_b = wrap_angle(z_m[:, 1] - bearing_k)
-    # detection mean = mean_k + gain . innov (unrolled tiny contraction)
-    mean_d = mean_k + gain_k[:, :, 0] * innov_r[:, None] \
-        + gain_k[:, :, 1] * innov_b[:, None]
-
-    if has_birth:
-        b_mean_m = r_m[:, 2:2 + D]
-        b_cov_m = r_m[:, 2 + D:2 + D + DD].reshape(cap, D, D)
-        sel_mean = jnp.where(is_p[:, None], mean_k,
-                             jnp.where(is_d[:, None], mean_d, b_mean_m))
-        sel_cov = jnp.where(is_p[:, None, None], cov_k,
-                            jnp.where(is_d[:, None, None], cov_upd_k,
-                                      b_cov_m))
-    else:
-        sel_mean = jnp.where(is_p[:, None], mean_k, mean_d)
-        sel_cov = jnp.where(is_p[:, None, None], cov_k, cov_upd_k)
-
-    # sanitize empty lanes (padded births can be non-finite; 0 * NaN would
-    # poison the merge's masked reductions)
-    eye = jnp.eye(D, dtype=dtype)
-    cand_mean = jnp.where(sel_act[:, None], sel_mean, 0.0)
-    cand_cov = jnp.where(sel_act[:, None, None], sel_cov, eye)
-    return cand_mean, cand_cov
+    k_eff, m_eff, is_p, is_d = candidate_gather_indices(idx, K, M, has_birth)
+    t_k, t_m = candidate_tables(mean, cov, pre, z, b_mean, b_cov)
+    from .pallas_select import onehot_rows_xla
+    r_k = onehot_rows_xla(k_eff, t_k)
+    r_m = onehot_rows_xla(m_eff, t_m)
+    return combine_selected(r_k, r_m, is_p, is_d, sel_act, D, has_birth)
 
 
 def ekf_detection_terms(pre: PreUpdate, mean, weight, z, cfg):

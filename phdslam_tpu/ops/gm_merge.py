@@ -203,40 +203,101 @@ def merge_batch_dispatch(mean, cov, weight, active, cfg, out_cap,
                           out_cap, cfg.distance_metric)
 
 
+def unpack_planes(packed, D):
+    """Planes [P, C, N] -> (mean [P, N, D], cov [P, N, D, D], weight,
+    active). Inverse of the packed layout (w, act, means, upper-tri cov)."""
+    weight = packed[:, 0]
+    active = packed[:, 1] > 0.5
+    mean = jnp.stack([packed[:, 2 + i] for i in range(D)], axis=-1)
+    full = [[None] * D for _ in range(D)]
+    i = 2 + D
+    for a in range(D):
+        for b in range(a, D):
+            full[a][b] = full[b][a] = packed[:, i]
+            i += 1
+    cov = jnp.stack([jnp.stack(row, axis=-1) for row in full], axis=-2)
+    return mean, cov, weight, active
+
+
+def merge_batch_dispatch_packed(packed, D, cfg, out_cap,
+                                sorted_prefix=False):
+    """Batch merge on pre-packed SoA planes [P, C, N] (C = 7 for D=2, 16
+    for D=4): w, act, mean planes, upper-triangle covariance planes.
+
+    Same routing as :func:`merge_batch_dispatch`, but callers that already
+    hold component planes (the deferred candidate gather) never form
+    [P, N, D]/[P, N, D, D] arrays — their 2-4-wide minor dims pad 32-64x
+    under TPU (8, 128) tiling (measured 17.7 GB of HLO temps at P=10240).
+    """
+    metric = cfg.distance_metric
+    eligible = (metric == 0 and D in (2, 4)) or (metric == 1 and D == 2)
+    if cfg.pallas_merge and eligible:
+        import functools as _ft
+
+        from .pallas_merge import (gm_merge_pallas_batch_packed,
+                                   gm_merge_pallas_batch_packed_4d,
+                                   pallas_available)
+        fn = {2: _ft.partial(gm_merge_pallas_batch_packed, metric=metric),
+              4: gm_merge_pallas_batch_packed_4d}[D]
+        interpret = cfg.pallas_merge == 2
+        if interpret or pallas_available():
+            N = packed.shape[-1]
+            widths = []
+            for frac in (4, 2):
+                w = -(-N // frac // 128) * 128          # ceil to lane tile
+                if 0 < w < N and w not in widths:
+                    widths.append(w)
+            widths.append(N)
+            if sorted_prefix and len(widths) > 1:
+                n_live = jnp.max(jnp.sum(
+                    ((packed[:, 1] > 0.5) & (packed[:, 0] > 0))
+                    .astype(jnp.int32), axis=1))
+                sel = sum((n_live > w).astype(jnp.int32)
+                          for w in widths[:-1])
+
+                def make_branch(w):
+                    def branch(pk):
+                        return fn(pk[:, :, :w], float(cfg.min_separation),
+                                  out_cap, interpret=interpret)
+                    return branch
+
+                return jax.lax.switch(
+                    sel, [make_branch(w) for w in widths], packed)
+            return fn(packed, float(cfg.min_separation), out_cap,
+                      interpret=interpret)
+    mean, cov, weight, active = unpack_planes(packed, D)
+    return gm_merge_batch(mean, cov, weight, active, cfg.min_separation,
+                          out_cap, cfg.distance_metric)
+
+
 def select_live_topT(grid, thr, T):
     """Heaviest-T live detection lanes per measurement (single particle).
 
     ``grid`` [M, K] >= 0 (invalid lanes zeroed), ``thr`` [M] > 0 per
-    measurement: live = grid >= thr[:, None]. Two tiers (see BENCH.md —
-    lax.top_k, argmax sweeps and batched gathers all lower poorly here):
+    measurement: live = grid >= thr[:, None]. ONE 2-operand payload sort
+    along K — key = -grid on live lanes (sentinel +1 on dead), payload =
+    feature index — yields the TRUE heaviest T live lanes per measurement
+    (stable: ties keep index order, like lax.top_k).
 
-      A. threshold + cumsum rank compaction to the first 2T live lanes in
-         index order (one fused one-hot contraction) — the complete live
-         set whenever a measurement has <= 2T live lanes;
-      B. heaviest-T of those via a 2-operand payload sort on [M, 2T].
+    This replaced a two-tier pipeline (cumsum rank compaction to the first
+    2T live lanes via a one-hot einsum, then a [M, 2T] sort): the einsum's
+    [M, K, 2T] one-hot operand must materialize in HBM (dot operands are
+    never fused), measured 27 ms at P=10240 vs ~2 ms for this sort — and
+    the sort keeps the heaviest T of ALL live lanes, not just of the first
+    2T in index order. (lax.top_k, argmax sweeps and batched gathers all
+    lower poorly here — see BENCH.md.)
 
     Returns (vals [M, T], idx [M, T] int32 feature indices,
     n_live scalar int32, n_kept scalar int32).
     """
     M, K = grid.shape
-    dtype = grid.dtype
-    T2 = min(K, 2 * T)
     live = grid >= thr[:, None]
-    rank = jnp.cumsum(live.astype(jnp.int32), axis=-1)
-    slot = jnp.where(live, rank - 1, T2)                # [M, K] in [0, T2]
-    oh_t = (slot[..., None]
-            == jnp.arange(T2, dtype=jnp.int32)[None, None, :])
-    packed = jnp.stack(
-        [grid, jnp.broadcast_to(jnp.arange(K, dtype=dtype)[None, :],
-                                (M, K))], axis=0)       # [2, M, K]
-    ext = jnp.einsum("mkt,cmk->cmt", oh_t.astype(dtype), packed)
-    vals2, idx2 = ext[0], ext[1]                        # [M, T2]
-    count = rank[:, -1]                                 # [M] live lanes
-    in_t2 = (jnp.arange(T2, dtype=jnp.int32)[None, :] < count[:, None])
-    neg2 = jnp.where(in_t2, -vals2, 1.0)
-    neg_s, idx_s = jax.lax.sort((neg2, idx2), num_keys=1, dimension=-1)
+    neg = jnp.where(live, -grid, 1.0)
+    iota = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (M, K))
+    neg_s, idx_s = jax.lax.sort((neg, iota), num_keys=1, dimension=-1)
     vals = jnp.maximum(-neg_s[:, :T], 0.0)
-    idx = idx_s[:, :T].astype(jnp.int32)
+    idx = idx_s[:, :T]
+    count = jnp.sum(live.astype(jnp.int32), axis=-1)    # [M] live lanes
     n_live = jnp.sum(count)
     n_kept = jnp.sum(jnp.minimum(count, T))
     return vals, idx, n_live, n_kept

@@ -1,0 +1,137 @@
+"""Fused Pallas TPU kernel: detection-likelihood grid + per-measurement
+top-T selection + normalizers.
+
+This fuses the three stage-1 ops of the fast update path —
+``ops.ekf.ekf_detection_linear`` (the [M, K] grid), the per-measurement
+normalizer sum, and ``ops.gm_merge.select_live_topT`` — into one kernel
+whose [K, M] grid lives only in VMEM. Under XLA the same pipeline is
+HBM-bound: the [P, M, K] grid materializes (335 MB at P=10240) and every
+selection strategy then needs multiple passes over it (payload sort 31 ms,
+one-hot rank einsum 27 ms, iterative argmax sweeps 30 ms — all measured);
+the fused kernel's HBM traffic is 6 input planes + [2T+2, M] outputs per
+particle.
+
+Semantics preserved exactly (f32 reassociation aside):
+  pdw[m, k]  = pref[k] * exp(-0.5 * d' S^-1 d)   (phdfilter.cu:2190-2223
+               linear-domain normalizer arithmetic; pref pre-folds
+               pd * w / (2 pi sqrt(det S)) and the in-range mask)
+  norm[m]    = sum_k pdw + clutter_density + birth_weight
+  live       = pdw >= min_feature_weight * norm  (and measurement valid)
+  vals/idx   = the T heaviest live lanes per measurement, ties by lowest
+               feature index (== select_live_topT's stable sort order)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK = 8
+
+
+def _wrap_angle(a):
+    """wrap to [-pi, pi] matching ops.math.wrap_angle (C fmod semantics)."""
+    two_pi = 2.0 * jnp.pi
+    r = a - two_pi * jnp.floor(a / two_pi)     # mod, sign of divisor
+    r = jnp.where((a < 0) & (r > 0), r - two_pi, r)
+    r = jnp.where(r > jnp.pi, r - two_pi, r)
+    r = jnp.where(r < -jnp.pi, r + two_pi, r)
+    return r
+
+
+def _detect_kernel(planes_ref, z_ref, out_ref, *, n_feat, n_meas, top_t,
+                   min_fw, cb, block):
+    """planes [B, 6, K]: r, bearing, si00, si01, si11, pref (pd * w /
+    (2 pi sqrt det S), zeroed for out-of-range features).
+    z [M, 4]: zr, zb, valid, pad (broadcast across particles).
+    out [B, M, 2T + 2]: vals (T) | idx-as-f32 (T) | norm | live count.
+
+    The grid lives as [M, K] (measurements in sublanes, features in lanes)
+    so every reduction runs along the LANE axis with keepdims — Mosaic
+    does not lower sublane-axis multi_reductions to 1-D outputs.
+    """
+    K, M, T = n_feat, n_meas, top_t
+    z = z_ref[:]                                   # [M, 4]
+    zr = z[:, 0:1]                                 # [M, 1]
+    zb = z[:, 1:2]
+    zvalid = z[:, 2:3] > 0.5
+    # tpu.iota only produces integers; cast to f32 for the index min-reduce
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (M, K), 1).astype(
+        jnp.float32)
+    k_end = float(K)
+
+    for b in range(block):
+        pl_b = planes_ref[b]                       # [6, K]
+        r = pl_b[0:1, :]                           # [1, K]
+        bearing = pl_b[1:2, :]
+        si00 = pl_b[2:3, :]
+        si01 = pl_b[3:4, :]
+        si11 = pl_b[4:5, :]
+        pref = pl_b[5:6, :]
+
+        ir = zr - r                                # [M, K]
+        ib = _wrap_angle(zb - bearing)
+        dist = si00 * ir * ir + 2.0 * si01 * ir * ib + si11 * ib * ib
+        pdw = pref * jnp.exp(-0.5 * dist)
+        pdw = jnp.where(zvalid, pdw, 0.0)
+
+        norm = jnp.sum(pdw, axis=-1, keepdims=True) + cb       # [M, 1]
+        live = pdw >= (min_fw * norm)
+        count = jnp.sum(live.astype(jnp.float32), axis=-1, keepdims=True)
+        work = jnp.where(live, pdw, -1.0)
+
+        vals_cols, idx_cols = [], []
+        for t in range(T):
+            mx = jnp.max(work, axis=-1, keepdims=True)         # [M, 1]
+            # lowest index among ties == select_live_topT's stable order
+            am = jnp.min(jnp.where(work == mx, iota_k, k_end),
+                         axis=-1, keepdims=True)               # [M, 1]
+            vals_cols.append(jnp.maximum(mx, 0.0))
+            idx_cols.append(am)
+            work = jnp.where(iota_k == am, -1.0, work)
+
+        out_ref[b] = jnp.concatenate(
+            vals_cols + idx_cols + [norm, count], axis=-1)     # [M, 2T+2]
+
+
+@functools.partial(jax.jit, static_argnames=("top_t", "min_fw", "cb",
+                                             "interpret"))
+def detection_topT_batch(planes, z4, top_t, min_fw, cb, interpret=False):
+    """Batched fused detection + top-T selection.
+
+    planes [P, 6, K] f32, z4 [M, 4] f32 (zr, zb, valid, pad) ->
+    (vals [P, M, T], idx [P, M, T] int32, norm [P, M], count [P, M] int32).
+    """
+    P, _, K = planes.shape
+    M = z4.shape[0]
+    T = top_t
+    B = _BLOCK if P >= _BLOCK else P
+    P_pad = ((P + B - 1) // B) * B
+    if P_pad != P:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((P_pad - P, 6, K), planes.dtype)], axis=0)
+
+    out = pl.pallas_call(
+        functools.partial(_detect_kernel, n_feat=K, n_meas=M, top_t=T,
+                          min_fw=float(min_fw), cb=float(cb), block=B),
+        out_shape=jax.ShapeDtypeStruct((P_pad, M, 2 * T + 2), jnp.float32),
+        grid=(P_pad // B,),
+        in_specs=[pl.BlockSpec((B, 6, K), lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((M, 4), lambda p: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((B, M, 2 * T + 2), lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(planes, z4)
+    out = out[:P]
+
+    vals = out[..., :T]                                        # [P, M, T]
+    idx = out[..., T:2 * T].astype(jnp.int32)
+    norm = out[..., 2 * T]                                     # [P, M]
+    count = out[..., 2 * T + 1].astype(jnp.int32)
+    return vals, idx, norm, count

@@ -226,8 +226,6 @@ def gm_merge_pallas_one(mean, cov, weight, active, min_separation, out_cap,
     return om[0], oc[0], ow[0], nm[0], nd[0]
 
 
-@functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
-                                             "interpret", "r_par", "metric"))
 def gm_merge_pallas_batch(mean, cov, weight, active, min_separation,
                           out_cap, interpret=False, r_par=8, metric=0):
     """Drop-in replacement for gm_merge_batch (D == 2, Mahalanobis).
@@ -242,6 +240,20 @@ def gm_merge_pallas_batch(mean, cov, weight, active, min_separation,
         weight, active.astype(jnp.float32),
         mean[..., 0], mean[..., 1],
         cov[..., 0, 0], cov[..., 0, 1], cov[..., 1, 1]], axis=1)  # [P, 7, N]
+    return gm_merge_pallas_batch_packed(packed, min_separation, out_cap,
+                                        interpret, r_par, metric)
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
+                                             "interpret", "r_par", "metric"))
+def gm_merge_pallas_batch_packed(packed, min_separation, out_cap,
+                                 interpret=False, r_par=8, metric=0):
+    """2D merge on pre-packed SoA planes [P, 7, N]: w, act, mx, my, c00,
+    c01, c11. Callers that already hold per-component planes (the deferred
+    candidate gather) avoid ever materializing [P, N, 2]/[P, N, 2, 2]
+    arrays, whose 2-wide minor dims pad 64x under (8, 128) tiling."""
+    P, C, N = packed.shape
+    assert C == 7
 
     # Particle-block vectorization: fill the VPU's sublanes with 8 particles
     # per program instead of one. Pad P up to a block multiple with inert
@@ -631,8 +643,6 @@ def gm_merge_pallas_one_4d(mean, cov, weight, active, min_separation,
     return om[0], oc[0], ow[0], nm[0], nd[0]
 
 
-@functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
-                                             "interpret", "r_par"))
 def gm_merge_pallas_batch_4d(mean, cov, weight, active, min_separation,
                              out_cap, interpret=False, r_par=8):
     """Batch 4D merge: mean [P, N, 4], cov [P, N, 4, 4] -> (out_mean
@@ -643,6 +653,18 @@ def gm_merge_pallas_batch_4d(mean, cov, weight, active, min_separation,
         + [mean[..., i] for i in range(4)] \
         + [cov[..., a, b] for a, b in _PAIRS4]
     packed = jnp.stack(planes, axis=1)                  # [P, 16, N]
+    return gm_merge_pallas_batch_packed_4d(packed, min_separation, out_cap,
+                                           interpret, r_par)
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
+                                             "interpret", "r_par"))
+def gm_merge_pallas_batch_packed_4d(packed, min_separation, out_cap,
+                                    interpret=False, r_par=8):
+    """4D merge on pre-packed SoA planes [P, 16, N]: w, act, m0..m3, then
+    the 10 upper-triangle covariance planes in _PAIRS4 order."""
+    P, C, N = packed.shape
+    assert C == 16
 
     B = _MERGE_BLOCK if P >= _MERGE_BLOCK else P
     P_pad = ((P + B - 1) // B) * B

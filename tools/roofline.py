@@ -103,14 +103,28 @@ def main(P=512):
     pre_out = jax.jit(full_pre)(pose, mean, cov, weight)
 
     # --- Pallas greedy merge ----------------------------------------------
-    cm, cc, cw, ca = pre_out["cand"]
-    t = measure(lambda *a: merge_batch_dispatch(*a, cfg, K), cm, cc, cw, ca)
+    from phdslam_tpu.ops.gm_merge import merge_batch_dispatch_packed
+    if pre_out["gather"] is not None:
+        cand_fn = jax.jit(lambda p_: phd._finish_candidates_packed(p_, 2))
+        t = measure(cand_fn, pre_out)
+        rows.append(dict(stage="candidate gather (pallas)", ms=t * 1e3,
+                         bound_ms=None, sol=None, gbs=None, bound_by="",
+                         note="deferred batch gather, packed planes"))
+        packed = cand_fn(pre_out)
+        mfn = lambda pk: merge_batch_dispatch_packed(pk, 2, cfg, K,
+                                                     sorted_prefix=True)
+        t = measure(mfn, packed)
+        mg = jax.jit(mfn)(packed)
+    else:
+        cm, cc, cw, ca = pre_out["cand"]
+        mfn2 = lambda *a: merge_batch_dispatch(*a, cfg, K)
+        t = measure(mfn2, cm, cc, cw, ca)
+        mg = jax.jit(mfn2)(cm, cc, cw, ca)
     by = P * 7 * cap * f4 + P * 8 * K * f4
     # VPU work is data-dependent (~clusters x N x ~40 lane-ops); report
     # HBM-roofline + achieved cluster rate instead
     add("pallas greedy merge", t, by, 0, "VPU-loop")
     import numpy as np
-    mg = jax.jit(lambda *a: merge_batch_dispatch(*a, cfg, K))(cm, cc, cw, ca)
     clusters = float(jnp.sum(mg[3]))
     rows[-1]["note"] = (f"data-dep loop: {clusters/P:.0f} clusters/particle, "
                         f"{clusters / t / 1e6:.1f}M clusters/s")
