@@ -166,7 +166,11 @@ def merge_batch_dispatch(mean, cov, weight, active, cfg, out_cap,
         from .pallas_merge import (gm_merge_pallas_batch,
                                    gm_merge_pallas_batch_3d,
                                    gm_merge_pallas_batch_4d, pallas_available)
-        fn = {2: _ft.partial(gm_merge_pallas_batch, metric=metric),
+        # sorted_prefix also means weight-DESCENDING active lanes (top-cap
+        # compaction emits them sorted): the 2D kernel then picks its
+        # greedy principals with one cumsum instead of R argmax reductions
+        fn = {2: _ft.partial(gm_merge_pallas_batch, metric=metric,
+                             sorted_w=sorted_prefix),
               3: gm_merge_pallas_batch_3d,
               4: gm_merge_pallas_batch_4d}[D]
         interpret = cfg.pallas_merge == 2
@@ -237,7 +241,10 @@ def merge_batch_dispatch_packed(packed, D, cfg, out_cap,
         from .pallas_merge import (gm_merge_pallas_batch_packed,
                                    gm_merge_pallas_batch_packed_4d,
                                    pallas_available)
-        fn = {2: _ft.partial(gm_merge_pallas_batch_packed, metric=metric),
+        # sorted_prefix also means weight-DESCENDING active lanes — see
+        # merge_batch_dispatch
+        fn = {2: _ft.partial(gm_merge_pallas_batch_packed, metric=metric,
+                             sorted_w=sorted_prefix),
               4: gm_merge_pallas_batch_packed_4d}[D]
         interpret = cfg.pallas_merge == 2
         if interpret or pallas_available():

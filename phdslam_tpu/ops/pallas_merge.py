@@ -35,8 +35,21 @@ import os
 _MERGE_BLOCK = int(os.environ.get("PHDSLAM_MERGE_BLOCK", "8"))
 
 
+def _lane_cumsum(x, n):
+    """Inclusive prefix sum along the last (lane) axis via Hillis-Steele
+    shifted adds — Mosaic has no cumsum lowering. O(log n) roll+add passes;
+    wrapped lanes from the circular roll are masked off."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    d = 1
+    while d < n:
+        shifted = pltpu.roll(x, d, axis=x.ndim - 1)  # out[i] = x[i - d]
+        x = x + jnp.where(iota >= d, shifted, 0.0)
+        d *= 2
+    return x
+
+
 def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation,
-                  block, r_par, metric=0):
+                  block, r_par, metric=0, sorted_w=False):
     """Greedy merge for a BLOCK of particles, R principals per iteration.
 
     All per-iteration work is [B, N]-shaped so the VPU's 8x128 lanes are
@@ -102,22 +115,38 @@ def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation,
         c, unmerged, ow, omx, omy, o00, o01, o11 = state
 
         # --- R tentative principals in weight order ------------------------
-        w_act = jnp.where(unmerged > 0.5, w, -1.0)
         ohs, hass = [], []
         pmx, pmy, p00, p01, p11 = [], [], [], [], []
-        for _ in range(R):
-            imax = jnp.argmax(w_act, axis=-1)[:, None]        # [B, 1]
-            hass.append((jnp.max(w_act, axis=-1) > 0.0)[:, None])
-            oh = (iota_n == imax)                             # [B, N] bool
-            ohf = oh.astype(jnp.float32)
-            ohs.append(oh)
+        if sorted_w:
+            # active lanes are weight-DESCENDING (top-cap-compacted sets):
+            # principal r = the (r+1)-th unmerged lane, so ONE lane cumsum
+            # replaces R sequential (argmax + max) reductions per trip.
+            # Argmax ties resolve to the lowest index, which in sorted
+            # order is exactly the first unmerged lane — identical cluster
+            # structure. (A full [B, R, N]-batched restructure of moments/
+            # membership was measured 25% SLOWER on real data — the 3D
+            # intermediates cost more than the saved reductions.)
+            unm = unmerged > 0.5
+            rank = _lane_cumsum(unmerged, n_cand)             # [B, N]
+            total = jnp.max(rank, axis=-1, keepdims=True)     # [B, 1]
+            for r in range(R):
+                ohs.append(unm & (rank == float(r + 1)))
+                hass.append(total > float(r))
+        else:
+            w_act = jnp.where(unmerged > 0.5, w, -1.0)
+            for _ in range(R):
+                imax = jnp.argmax(w_act, axis=-1)[:, None]    # [B, 1]
+                hass.append((jnp.max(w_act, axis=-1) > 0.0)[:, None])
+                ohs.append(iota_n == imax)                    # [B, N] bool
+                w_act = jnp.where(ohs[-1], -1.0, w_act)
+        for r in range(R):
+            ohf = ohs[r].astype(jnp.float32)
             # principal moments via one-hot reductions (no dynamic gather)
             pmx.append(jnp.sum(ohf * mx, axis=-1, keepdims=True))
             pmy.append(jnp.sum(ohf * my, axis=-1, keepdims=True))
             p00.append(jnp.sum(ohf * c00, axis=-1, keepdims=True))
             p01.append(jnp.sum(ohf * c01, axis=-1, keepdims=True))
             p11.append(jnp.sum(ohf * c11, axis=-1, keepdims=True))
-            w_act = jnp.where(oh, -1.0, w_act)
 
         # --- distance of every candidate to each principal ------------------
         dists = []
@@ -193,7 +222,14 @@ def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation,
         live = unmerged * (c < out_cap).astype(jnp.float32)
         return jnp.max(live) > 0.5
 
-    unmerged0 = act
+    if sorted_w:
+        # the rank-based principal pick has no positive-weight check (the
+        # argmax path's max > 0 does); sorted callers guarantee active =>
+        # w > 0, but pre-mask degenerate (w <= 0 / NaN) lanes anyway so a
+        # garbage lane can never become a principal
+        unmerged0 = jnp.where(w > 0, act, 0.0)
+    else:
+        unmerged0 = act
     zk = jnp.zeros((B, out_cap), jnp.float32)
     state = (jnp.zeros((B, 1), jnp.int32), unmerged0, zk, zk, zk, zk, zk, zk)
     _, unmerged, ow, omx, omy, o00, o01, o11 = jax.lax.while_loop(
@@ -227,7 +263,8 @@ def gm_merge_pallas_one(mean, cov, weight, active, min_separation, out_cap,
 
 
 def gm_merge_pallas_batch(mean, cov, weight, active, min_separation,
-                          out_cap, interpret=False, r_par=8, metric=0):
+                          out_cap, interpret=False, r_par=8, metric=0,
+                          sorted_w=False):
     """Drop-in replacement for gm_merge_batch (D == 2, Mahalanobis).
 
     mean [P, N, 2], cov [P, N, 2, 2], weight [P, N], active [P, N] ->
@@ -241,13 +278,15 @@ def gm_merge_pallas_batch(mean, cov, weight, active, min_separation,
         mean[..., 0], mean[..., 1],
         cov[..., 0, 0], cov[..., 0, 1], cov[..., 1, 1]], axis=1)  # [P, 7, N]
     return gm_merge_pallas_batch_packed(packed, min_separation, out_cap,
-                                        interpret, r_par, metric)
+                                        interpret, r_par, metric, sorted_w)
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
-                                             "interpret", "r_par", "metric"))
+                                             "interpret", "r_par", "metric",
+                                             "sorted_w"))
 def gm_merge_pallas_batch_packed(packed, min_separation, out_cap,
-                                 interpret=False, r_par=8, metric=0):
+                                 interpret=False, r_par=8, metric=0,
+                                 sorted_w=False):
     """2D merge on pre-packed SoA planes [P, 7, N]: w, act, mx, my, c00,
     c01, c11. Callers that already hold per-component planes (the deferred
     candidate gather) avoid ever materializing [P, N, 2]/[P, N, 2, 2]
@@ -267,7 +306,8 @@ def gm_merge_pallas_batch_packed(packed, min_separation, out_cap,
     out = pl.pallas_call(
         functools.partial(_merge_kernel, n_cand=N, out_cap=out_cap,
                           min_separation=float(min_separation), block=B,
-                          r_par=max(1, r_par), metric=metric),
+                          r_par=max(1, r_par), metric=metric,
+                          sorted_w=sorted_w),
         out_shape=jax.ShapeDtypeStruct((P_pad, 8, out_cap), jnp.float32),
         grid=(P_pad // B,),
         in_specs=[pl.BlockSpec((B, 7, N), lambda p: (p, 0, 0),

@@ -49,6 +49,35 @@ def test_pallas_merge_matches_xla(seed, cluster):
     np.testing.assert_array_equal(np.asarray(got[4]), np.asarray(ref[4]))
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pallas_merge_sorted_w_matches_xla(seed):
+    """sorted_w=True (cumsum principal pick) on weight-DESCENDING active
+    prefixes must match the XLA reference exactly like the argmax path."""
+    P, N, K = 4, 64, 16
+    mean, cov, w, act = random_case(P, N, K, seed, cluster=True)
+    # compact actives into a weight-sorted prefix, as top-cap callers do
+    neg = jnp.where(act, -w, 1.0)
+    order = jnp.argsort(neg, axis=-1)
+    take = lambda x: jnp.take_along_axis(
+        x, order.reshape(order.shape + (1,) * (x.ndim - 2)), axis=1)
+    mean_s = jnp.take_along_axis(mean, order[..., None], axis=1)
+    cov_s = jnp.take_along_axis(cov, order[..., None, None], axis=1)
+    w_s = jnp.where(jnp.take_along_axis(act, order, axis=1),
+                    jnp.take_along_axis(w, order, axis=1), 0.0)
+    act_s = jnp.take_along_axis(act, order, axis=1)
+    ref = gm_merge_batch(mean_s, cov_s, w_s, act_s, 4.0, K, 0)
+    got = gm_merge_pallas_batch(mean_s, cov_s, w_s, act_s, 4.0, K,
+                                interpret=INTERPRET, sorted_w=True)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+    np.testing.assert_array_equal(np.asarray(got[4]), np.asarray(ref[4]))
+
+
 def test_pallas_merge_overflow_counts():
     # more clusters than capacity -> dropped leftovers reported
     P, N, K = 2, 64, 4
@@ -209,6 +238,12 @@ def test_width_switch_covers_non_tile_widths():
     mean, cov, w, act = random_case(P, N, K, 1)
     mean, cov, w = mean[:, :N], cov[:, :N], w[:, :N]
     act = jnp.ones((P, N), bool)           # live everywhere -> needs full N
+    # honor the sorted_prefix contract: active lanes in DESCENDING weight
+    # order (the kernel's cumsum principal pick now relies on it)
+    order = jnp.argsort(-w, axis=-1)
+    mean = jnp.take_along_axis(mean, order[..., None], axis=1)
+    cov = jnp.take_along_axis(cov, order[..., None, None], axis=1)
+    w = jnp.take_along_axis(w, order, axis=1)
     ref = gm_merge_batch(mean, cov, w, act, 4.0, K, 0)
     got = merge_batch_dispatch(mean, cov, w, act, cfg, K,
                                sorted_prefix=True)

@@ -90,6 +90,24 @@ def main(P=512):
     fl = P * M * K * 20
     add("detection grid [P,M,K]", t, by, fl, "VPU")
 
+    # --- fused detection + top-T kernel ------------------------------------
+    from phdslam_tpu.filters.phd import _detection_planes_single
+    from phdslam_tpu.ops.pallas_detect import detection_topT_batch
+    planes_fn = lambda p_, m_, c_, w_: jax.vmap(
+        lambda p, m, c, w: _detection_planes_single(p, m, c, w, cfg))(
+        p_, m_, c_, w_)
+    planes = jax.jit(planes_fn)(pose, mean, cov, weight)
+    z4 = jnp.stack([z[:, 0], z[:, 1], zmask.astype(jnp.float32),
+                    jnp.zeros_like(z[:, 0])], axis=1)
+    T_k = cfg.detection_topk
+    det_kfn = lambda pl_: detection_topT_batch(
+        pl_, z4, T_k, float(cfg.min_feature_weight),
+        float(cfg.clutter_density + cfg.birth_weight))
+    t = measure(det_kfn, planes)
+    by = P * 6 * K * f4 + P * M * (2 * T_k + 2) * f4
+    add("fused detect+topT kernel", t, by, P * M * K * (30 + T_k * 3),
+        "VPU")
+
     # --- full pre half (grid + selection + candidate gather) --------------
     full_pre = lambda p_, m_, c_, w_: jax.vmap(
         lambda p, m, c, w: phd._update_single_pre(
