@@ -312,18 +312,14 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
         idx, cand_w, cand_act, n_drop = topcap_sort(
             red_w, red_act, red_flat, cap)
         n_compact = n_drop + (n_live_d - n_kept_d)
-        cand_mean, cand_cov = ekf.select_compact_candidates(
-            idx, cand_act, mean, cov, pre, z)
     elif use_fast:
-        # scalar top-k + MXU one-hot row selection (see ops.ekf; avoids
-        # materializing the [M*K] detection mean/cov grids)
+        # scalar top-k lane selection (see ops.ekf; avoids materializing
+        # the [M*K] detection mean/cov grids)
         from ..ops.gm_merge import topk_compact_indices
         cand_w = jnp.concatenate([w_a, w_det.reshape(M * K)], axis=0)
         cand_act = jnp.concatenate([act_a, act_b.reshape(M * K)], axis=0)
         idx, cand_w, cand_act, n_compact = topk_compact_indices(
             cand_w, cand_act, cap)
-        cand_mean, cand_cov = ekf.select_compact_candidates(
-            idx, cand_act, mean, cov, pre, z)
     else:
         mean_det = ekf.ekf_detection_means(pre, mean, z)
         cand_w = jnp.concatenate([w_a, w_det.reshape(M * K)], axis=0)
@@ -341,9 +337,21 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
         cand_w = jnp.where(cand_act, cand_w, 0.0)
         cand_mean, cand_cov, cand_w, cand_act, n_compact = compact_candidates(
             cand_mean, cand_cov, cand_w, cand_act, cap)
-    return dict(cand=(cand_mean, cand_cov, cand_w, cand_act),
-                log_cn=log_cn_update, dlog_w=dlog_w, out_m=out_m,
-                n_compact=n_compact)
+        return dict(cand=(cand_mean, cand_cov, cand_w, cand_act),
+                    gather=None, log_cn=log_cn_update, dlog_w=dlog_w,
+                    out_m=out_m, n_compact=n_compact)
+    # fast paths: DEFER the row gather to batch level (Pallas one-hot
+    # kernel + packed-plane combine, exactly as filters/phd.py — in-vmap
+    # XLA one-hots materialize [P, cap, K] and [..., cap, D] temps pad
+    # 32-128x under (8, 128) tiling); lane layout here is [K | M*K],
+    # no birth lanes
+    k_eff, m_eff, is_p, is_d = ekf.candidate_gather_indices(
+        idx, K, M, False)
+    t_k, t_m = ekf.candidate_tables_T(mean, cov, pre, z)
+    gather = dict(k_eff=k_eff, m_eff=m_eff, is_p=is_p, is_d=is_d,
+                  sel_act=cand_act, cand_w=cand_w, t_k=t_k, t_m=t_m)
+    return dict(cand=None, gather=gather, log_cn=log_cn_update,
+                dlog_w=dlog_w, out_m=out_m, n_compact=n_compact)
 
 
 def _cphd_update_single_post(mg, pre_out, mean, cov, weight,
@@ -416,16 +424,26 @@ def add_births(gm: GMState, pose, z, z_mask, cfg: SlamConfig):
 def cphd_update(state: FilterState, z, z_mask, consts, cfg: SlamConfig):
     """CPHD measurement update over all particles + birth injection for the
     next scan + cardinality convolution with the binomial birth cardinality."""
-    from ..ops.gm_merge import merge_batch_dispatch
+    from ..ops.gm_merge import merge_batch_dispatch, \
+        merge_batch_dispatch_packed
     gm = state.map_static
     pre = jax.vmap(
         lambda p, m, c, w: _cphd_update_single(p, m, c, w, z, z_mask, consts,
                                                cfg)
     )(state.pose, gm.mean, gm.cov, gm.weight)
     K_, M_ = gm.mean.shape[-2], z.shape[0]
-    mg = merge_batch_dispatch(
-        *pre["cand"], cfg, K_,
-        sorted_prefix=0 < cfg.merge_candidate_cap < K_ + M_ * K_)
+    D_ = gm.mean.shape[-1]
+    sorted_prefix = 0 < cfg.merge_candidate_cap < K_ + M_ * K_
+    if pre["gather"] is not None:
+        # deferred Pallas gather + packed-plane merge (see filters/phd.py)
+        from .phd import _finish_candidates_packed
+        packed = _finish_candidates_packed(pre, D_, batched=True,
+                                           has_birth=False)
+        mg = merge_batch_dispatch_packed(packed, D_, cfg, K_,
+                                         sorted_prefix=sorted_prefix)
+    else:
+        mg = merge_batch_dispatch(*pre["cand"], cfg, K_,
+                                  sorted_prefix=sorted_prefix)
     upd = jax.vmap(
         lambda mg_t, pre_t, m, c, w: _cphd_update_single_post(
             mg_t, pre_t, m, c, w, cfg)

@@ -337,7 +337,7 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
     return pre_out
 
 
-def _finish_gather_planes(pre_out, D, batched=False):
+def _finish_gather_planes(pre_out, D, batched=False, has_birth=True):
     """Complete a deferred candidate gather (fast path) in PLANE form:
     fetch the selected table rows ([C, cap] transposed layout) and return
     (mean_planes, cov_planes, cand_w, sel_act).
@@ -354,17 +354,17 @@ def _finish_gather_planes(pre_out, D, batched=False):
     r_k = rows(g["k_eff"], g["t_k"])
     r_m = rows(g["m_eff"], g["t_m"])
     mean_pl, cov_pl = ekf.combine_selected_planes(
-        r_k, r_m, g["is_p"], g["is_d"], g["sel_act"], D, True)
+        r_k, r_m, g["is_p"], g["is_d"], g["sel_act"], D, has_birth)
     return mean_pl, cov_pl, g["cand_w"], g["sel_act"]
 
 
-def _finish_candidates(pre_out, D, batched=False):
+def _finish_candidates(pre_out, D, batched=False, has_birth=True):
     """Array-form completion of a deferred gather: (cand_mean [..., cap, D],
     cand_cov [..., cap, D, D], cand_w, cand_act). Prefer the packed route
     (_finish_candidates_packed) at batch level — these [..., cap, D]-shaped
     arrays pad 32-64x under TPU (8, 128) tiling."""
     mean_pl, cov_pl, cand_w, sel_act = _finish_gather_planes(
-        pre_out, D, batched)
+        pre_out, D, batched, has_birth)
     cand_mean = jnp.stack(mean_pl, axis=-1)
     full = [[None] * D for _ in range(D)]
     i = 0
@@ -376,12 +376,12 @@ def _finish_candidates(pre_out, D, batched=False):
     return cand_mean, cand_cov, cand_w, sel_act
 
 
-def _finish_candidates_packed(pre_out, D, batched=True):
+def _finish_candidates_packed(pre_out, D, batched=True, has_birth=True):
     """Packed completion of a deferred gather: SoA planes [P, C, cap]
     (w, act, means, upper-triangle covs) ready for
     ops.gm_merge.merge_batch_dispatch_packed."""
     mean_pl, cov_pl, cand_w, sel_act = _finish_gather_planes(
-        pre_out, D, batched)
+        pre_out, D, batched, has_birth)
     planes = [cand_w, sel_act.astype(cand_w.dtype)] + mean_pl + cov_pl
     return jnp.stack(planes, axis=-2)
 

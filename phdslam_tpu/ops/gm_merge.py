@@ -171,8 +171,10 @@ def merge_batch_dispatch(mean, cov, weight, active, cfg, out_cap,
         # greedy principals with one cumsum instead of R argmax reductions
         fn = {2: _ft.partial(gm_merge_pallas_batch, metric=metric,
                              sorted_w=sorted_prefix),
-              3: gm_merge_pallas_batch_3d,
-              4: gm_merge_pallas_batch_4d}[D]
+              3: _ft.partial(gm_merge_pallas_batch_3d,
+                             sorted_w=sorted_prefix),
+              4: _ft.partial(gm_merge_pallas_batch_4d,
+                             sorted_w=sorted_prefix)}[D]
         interpret = cfg.pallas_merge == 2
         if interpret or pallas_available():
             N = mean.shape[1]
@@ -245,7 +247,8 @@ def merge_batch_dispatch_packed(packed, D, cfg, out_cap,
         # merge_batch_dispatch
         fn = {2: _ft.partial(gm_merge_pallas_batch_packed, metric=metric,
                              sorted_w=sorted_prefix),
-              4: gm_merge_pallas_batch_packed_4d}[D]
+              4: _ft.partial(gm_merge_pallas_batch_packed_4d,
+                             sorted_w=sorted_prefix)}[D]
         interpret = cfg.pallas_merge == 2
         if interpret or pallas_available():
             N = packed.shape[-1]

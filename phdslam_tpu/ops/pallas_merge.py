@@ -339,7 +339,7 @@ def gm_merge_pallas_batch_packed(packed, min_separation, out_cap,
 # -----------------------------------------------------------------------------
 
 def _merge_kernel_3d(in_ref, out_ref, *, n_cand, out_cap, min_separation,
-                     block, r_par):
+                     block, r_par, sorted_w=False):
     """3D-feature greedy merge — same algorithm and R-way exact-greedy
     parallelization as :func:`_merge_kernel`, with closed-form symmetric
     3x3 inverses for the Mahalanobis metric (matches ops.math.mahalanobis2
@@ -379,19 +379,29 @@ def _merge_kernel_3d(in_ref, out_ref, *, n_cand, out_cap, min_separation,
     def body(state):
         cnt, unmerged, ow, om, oc = state
 
-        w_act = jnp.where(unmerged > 0.5, w, -1.0)
         ohs, hass, pm, pc = [], [], [], []
-        for _ in range(R):
-            imax = jnp.argmax(w_act, axis=-1)[:, None]        # [B, 1]
-            hass.append((jnp.max(w_act, axis=-1) > 0.0)[:, None])
-            oh = (iota_n == imax)
-            ohf = oh.astype(jnp.float32)
-            ohs.append(oh)
+        if sorted_w:
+            # weight-DESCENDING active lanes: principal r = (r+1)-th
+            # unmerged lane via ONE cumsum (see the 2D kernel)
+            unm = unmerged > 0.5
+            rank = _lane_cumsum(unmerged, n_cand)
+            total = jnp.max(rank, axis=-1, keepdims=True)
+            for r in range(R):
+                ohs.append(unm & (rank == float(r + 1)))
+                hass.append(total > float(r))
+        else:
+            w_act = jnp.where(unmerged > 0.5, w, -1.0)
+            for _ in range(R):
+                imax = jnp.argmax(w_act, axis=-1)[:, None]    # [B, 1]
+                hass.append((jnp.max(w_act, axis=-1) > 0.0)[:, None])
+                ohs.append(iota_n == imax)
+                w_act = jnp.where(ohs[-1], -1.0, w_act)
+        for r in range(R):
+            ohf = ohs[r].astype(jnp.float32)
             pm.append([jnp.sum(ohf * mi, axis=-1, keepdims=True)
                        for mi in m])
             pc.append([jnp.sum(ohf * ci, axis=-1, keepdims=True)
                        for ci in c])
-            w_act = jnp.where(oh, -1.0, w_act)
 
         dists = []
         for r in range(R):
@@ -449,7 +459,8 @@ def _merge_kernel_3d(in_ref, out_ref, *, n_cand, out_cap, min_separation,
         return jnp.max(live) > 0.5
 
     zk = jnp.zeros((B, out_cap), jnp.float32)
-    state = (jnp.zeros((B, 1), jnp.int32), act, zk,
+    act0 = jnp.where(w > 0, act, 0.0) if sorted_w else act
+    state = (jnp.zeros((B, 1), jnp.int32), act0, zk,
              [zk, zk, zk], [zk, zk, zk, zk, zk, zk])
     _, unmerged, ow, om, oc = jax.lax.while_loop(cond, body, state)
 
@@ -473,9 +484,11 @@ def gm_merge_pallas_one_3d(mean, cov, weight, active, min_separation,
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
-                                             "interpret", "r_par"))
+                                             "interpret", "r_par",
+                                             "sorted_w"))
 def gm_merge_pallas_batch_3d(mean, cov, weight, active, min_separation,
-                             out_cap, interpret=False, r_par=8):
+                             out_cap, interpret=False, r_par=8,
+                             sorted_w=False):
     """Batch 3D merge: mean [P, N, 3], cov [P, N, 3, 3], weight/active
     [P, N] -> (out_mean [P,K,3], out_cov [P,K,3,3], out_w [P,K],
     n_merged [P], n_dropped [P])."""
@@ -496,7 +509,7 @@ def gm_merge_pallas_batch_3d(mean, cov, weight, active, min_separation,
     out = pl.pallas_call(
         functools.partial(_merge_kernel_3d, n_cand=N, out_cap=out_cap,
                           min_separation=float(min_separation), block=B,
-                          r_par=max(1, r_par)),
+                          r_par=max(1, r_par), sorted_w=sorted_w),
         out_shape=jax.ShapeDtypeStruct((P_pad, 12, out_cap), jnp.float32),
         grid=(P_pad // B,),
         in_specs=[pl.BlockSpec((B, 11, N), lambda p: (p, 0, 0),
@@ -534,7 +547,7 @@ _PAIRS4 = ((0, 0), (0, 1), (0, 2), (0, 3), (1, 1), (1, 2), (1, 3),
 
 
 def _merge_kernel_4d(in_ref, out_ref, *, n_cand, out_cap, min_separation,
-                     block, r_par):
+                     block, r_par, sorted_w=False):
     """4D-feature greedy merge — same algorithm and R-way exact-greedy
     parallelization as :func:`_merge_kernel`. The Mahalanobis quadratic
     form uses the symmetric 2x2-block Schur identity
@@ -593,19 +606,29 @@ def _merge_kernel_4d(in_ref, out_ref, *, n_cand, out_cap, min_separation,
     def body(state):
         cnt, unmerged, ow, om, oc = state
 
-        w_act = jnp.where(unmerged > 0.5, w, -1.0)
         ohs, hass, pm, pc = [], [], [], []
-        for _ in range(R):
-            imax = jnp.argmax(w_act, axis=-1)[:, None]        # [B, 1]
-            hass.append((jnp.max(w_act, axis=-1) > 0.0)[:, None])
-            oh = (iota_n == imax)
-            ohf = oh.astype(jnp.float32)
-            ohs.append(oh)
+        if sorted_w:
+            # weight-DESCENDING active lanes: principal r = (r+1)-th
+            # unmerged lane via ONE cumsum (see the 2D kernel)
+            unm = unmerged > 0.5
+            rank = _lane_cumsum(unmerged, n_cand)
+            total = jnp.max(rank, axis=-1, keepdims=True)
+            for r in range(R):
+                ohs.append(unm & (rank == float(r + 1)))
+                hass.append(total > float(r))
+        else:
+            w_act = jnp.where(unmerged > 0.5, w, -1.0)
+            for _ in range(R):
+                imax = jnp.argmax(w_act, axis=-1)[:, None]    # [B, 1]
+                hass.append((jnp.max(w_act, axis=-1) > 0.0)[:, None])
+                ohs.append(iota_n == imax)
+                w_act = jnp.where(ohs[-1], -1.0, w_act)
+        for r in range(R):
+            ohf = ohs[r].astype(jnp.float32)
             pm.append([jnp.sum(ohf * mi, axis=-1, keepdims=True)
                        for mi in m])
             pc.append([jnp.sum(ohf * ci, axis=-1, keepdims=True)
                        for ci in c])
-            w_act = jnp.where(oh, -1.0, w_act)
 
         dists = []
         for r in range(R):
@@ -661,7 +684,8 @@ def _merge_kernel_4d(in_ref, out_ref, *, n_cand, out_cap, min_separation,
         return jnp.max(live) > 0.5
 
     zk = jnp.zeros((B, out_cap), jnp.float32)
-    state = (jnp.zeros((B, 1), jnp.int32), act, zk,
+    act0 = jnp.where(w > 0, act, 0.0) if sorted_w else act
+    state = (jnp.zeros((B, 1), jnp.int32), act0, zk,
              [zk] * 4, [zk] * 10)
     _, unmerged, ow, om, oc = jax.lax.while_loop(cond, body, state)
 
@@ -684,7 +708,8 @@ def gm_merge_pallas_one_4d(mean, cov, weight, active, min_separation,
 
 
 def gm_merge_pallas_batch_4d(mean, cov, weight, active, min_separation,
-                             out_cap, interpret=False, r_par=8):
+                             out_cap, interpret=False, r_par=8,
+                             sorted_w=False):
     """Batch 4D merge: mean [P, N, 4], cov [P, N, 4, 4] -> (out_mean
     [P,K,4], out_cov [P,K,4,4], out_w [P,K], n_merged [P], n_dropped [P])."""
     P, N, D = mean.shape
@@ -694,13 +719,15 @@ def gm_merge_pallas_batch_4d(mean, cov, weight, active, min_separation,
         + [cov[..., a, b] for a, b in _PAIRS4]
     packed = jnp.stack(planes, axis=1)                  # [P, 16, N]
     return gm_merge_pallas_batch_packed_4d(packed, min_separation, out_cap,
-                                           interpret, r_par)
+                                           interpret, r_par, sorted_w)
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
-                                             "interpret", "r_par"))
+                                             "interpret", "r_par",
+                                             "sorted_w"))
 def gm_merge_pallas_batch_packed_4d(packed, min_separation, out_cap,
-                                    interpret=False, r_par=8):
+                                    interpret=False, r_par=8,
+                                    sorted_w=False):
     """4D merge on pre-packed SoA planes [P, 16, N]: w, act, m0..m3, then
     the 10 upper-triangle covariance planes in _PAIRS4 order."""
     P, C, N = packed.shape
@@ -715,7 +742,7 @@ def gm_merge_pallas_batch_packed_4d(packed, min_separation, out_cap,
     out = pl.pallas_call(
         functools.partial(_merge_kernel_4d, n_cand=N, out_cap=out_cap,
                           min_separation=float(min_separation), block=B,
-                          r_par=max(1, r_par)),
+                          r_par=max(1, r_par), sorted_w=sorted_w),
         out_shape=jax.ShapeDtypeStruct((P_pad, 16, out_cap), jnp.float32),
         grid=(P_pad // B,),
         in_specs=[pl.BlockSpec((B, 16, N), lambda p: (p, 0, 0),
