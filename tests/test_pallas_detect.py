@@ -110,6 +110,23 @@ def test_filter_update_det_route_matches_xla():
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_fused_detect_width_switch():
+    """M-width switching (valid rows ≤ M/4) must reproduce the full-width
+    outputs, including the padded invalid-row values."""
+    T, min_fw, cb = 4, 1e-4, 0.05
+    planes, z4 = make_case(2, P=6, K=32, M=32, n_valid=5)
+    kv, ki, kn, kc = detection_topT_batch(planes, z4, T, min_fw, cb,
+                                          interpret=INTERPRET)
+    rv, ri, rn, rc = reference(planes, z4, T, min_fw, cb)
+    np.testing.assert_allclose(np.asarray(kn), np.asarray(rn),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(kc), np.asarray(rc))
+    np.testing.assert_allclose(np.asarray(kv), np.asarray(rv),
+                               rtol=1e-6, atol=1e-9)
+    sel = np.asarray(rv) > 0
+    np.testing.assert_array_equal(np.asarray(ki)[sel], np.asarray(ri)[sel])
+
+
 def test_fused_detect_ragged_block():
     # P smaller than the particle block + all-invalid measurements
     T, min_fw, cb = 3, 1e-3, 0.1
