@@ -159,6 +159,9 @@ class SlamConfig:
     # Cuts the global selection from K*(M+1)+M lanes to K+M*T+M. Raise for
     # dense worlds where single measurements gate many features.
     detection_topk: int = 16
+    # Pallas merge: clusters extracted per while-loop trip (R-way exact
+    # greedy; see ops/pallas_merge.py — R=8 measured optimal at P=512)
+    merge_r_par: int = 8
     # Fused detection+top-T Pallas kernel (ops/pallas_detect.py): 0 = off
     # (XLA grid + payload sort), 1 = auto (Mosaic kernel on TPU backends),
     # 2 = force interpret mode (CPU testing). Only engages on the fast
@@ -276,6 +279,7 @@ _OPTION_MAP = {
     "detection_topk": "detection_topk",
     "pallas_merge": "pallas_merge",
     "pallas_detect": "pallas_detect",
+    "merge_r_par": "merge_r_par",
 }
 
 _LINE_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*?)\s*$")

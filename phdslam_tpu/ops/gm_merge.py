@@ -169,20 +169,22 @@ def merge_batch_dispatch(mean, cov, weight, active, cfg, out_cap,
         # sorted_prefix also means weight-DESCENDING active lanes (top-cap
         # compaction emits them sorted): the 2D kernel then picks its
         # greedy principals with one cumsum instead of R argmax reductions
+        rp = max(1, getattr(cfg, "merge_r_par", 8))
         fn = {2: _ft.partial(gm_merge_pallas_batch, metric=metric,
-                             sorted_w=sorted_prefix),
+                             sorted_w=sorted_prefix, r_par=rp),
               3: _ft.partial(gm_merge_pallas_batch_3d,
-                             sorted_w=sorted_prefix),
+                             sorted_w=sorted_prefix, r_par=rp),
               4: _ft.partial(gm_merge_pallas_batch_4d,
-                             sorted_w=sorted_prefix)}[D]
+                             sorted_w=sorted_prefix, r_par=rp)}[D]
         interpret = cfg.pallas_merge == 2
         if interpret or pallas_available():
             N = mean.shape[1]
-            # narrower variants at lane-tile multiples, ALWAYS ending with
-            # the full width so no live count can be truncated
+            # narrower variants at lane-tile multiples (quarter steps; real
+            # live counts often sit between N/2 and N — BENCH.md), ALWAYS
+            # ending with the full width so no live count can be truncated
             widths = []
-            for frac in (4, 2):
-                w = -(-N // frac // 128) * 128          # ceil to lane tile
+            for frac in (4, 2, 1.3333333):
+                w = -(-int(N // frac) // 128) * 128     # ceil to lane tile
                 if 0 < w < N and w not in widths:
                     widths.append(w)
             widths.append(N)
@@ -245,16 +247,17 @@ def merge_batch_dispatch_packed(packed, D, cfg, out_cap,
                                    pallas_available)
         # sorted_prefix also means weight-DESCENDING active lanes — see
         # merge_batch_dispatch
+        rp = max(1, getattr(cfg, "merge_r_par", 8))
         fn = {2: _ft.partial(gm_merge_pallas_batch_packed, metric=metric,
-                             sorted_w=sorted_prefix),
+                             sorted_w=sorted_prefix, r_par=rp),
               4: _ft.partial(gm_merge_pallas_batch_packed_4d,
-                             sorted_w=sorted_prefix)}[D]
+                             sorted_w=sorted_prefix, r_par=rp)}[D]
         interpret = cfg.pallas_merge == 2
         if interpret or pallas_available():
             N = packed.shape[-1]
             widths = []
-            for frac in (4, 2):
-                w = -(-N // frac // 128) * 128          # ceil to lane tile
+            for frac in (4, 2, 1.3333333):
+                w = -(-int(N // frac) // 128) * 128     # ceil to lane tile
                 if 0 < w < N and w not in widths:
                     widths.append(w)
             widths.append(N)

@@ -28,9 +28,11 @@ from phdslam_tpu.ops.gm_merge import merge_batch_dispatch
 from phdslam_tpu.slam import SynthSLAMRunner
 
 
-def main(P=10240, probes=(30, 80, 150, 250, 320)):
+def main(P=10240, probes=(30, 80, 150, 250, 320), r_par=None):
     cfg = load_config("cfg/ackerman.cfg")
     cfg.n_particles = P
+    if r_par:
+        cfg.merge_r_par = r_par
     r = SynthSLAMRunner(cfg, "data/ackerman")
 
     @jax.jit
@@ -82,4 +84,5 @@ def main(P=10240, probes=(30, 80, 150, 250, 320)):
 
 if __name__ == "__main__":
     P = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
-    main(P)
+    rp = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    main(P, r_par=rp)
