@@ -37,12 +37,43 @@ PARTICLE_AXIS = "particle"
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
-    """Build the 1-D particle mesh over the available chips."""
+    """Build the 1-D particle mesh over the available chips.
+
+    When ``n_devices`` exceeds the default backend's device count (e.g. a
+    virtual multi-chip dry run on a host with one real TPU), fall back to the
+    CPU backend, whose device count is controlled by
+    ``--xla_force_host_platform_device_count``. This also sidesteps the axon
+    sitecustomize force-setting ``jax_platforms="axon,cpu"``, which overrides
+    the ``JAX_PLATFORMS=cpu`` env var a driver may use to request a CPU mesh.
+    """
     if devices is None:
         devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            devices = jax.devices("cpu")
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} mesh devices but only "
+                f"{len(devices)} are available")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (PARTICLE_AXIS,))
+
+
+def _cfg_for_mesh(cfg: SlamConfig, mesh: Mesh) -> SlamConfig:
+    """Resolve auto (=1) Pallas knobs against the MESH's platform: Mosaic
+    kernels only compile for TPU devices, and the default backend (which
+    ``pallas_available`` consults) can differ from the mesh — e.g. an axon
+    default with a CPU dry-run mesh."""
+    platform = mesh.devices.flat[0].platform
+    if platform in ("tpu", "axon"):
+        return cfg
+    import dataclasses
+    kw = {}
+    if cfg.pallas_merge == 1:
+        kw["pallas_merge"] = 0
+    if cfg.pallas_detect == 1:
+        kw["pallas_detect"] = 0
+    return dataclasses.replace(cfg, **kw) if kw else cfg
 
 
 def _particle_spec(x) -> P:
@@ -84,6 +115,7 @@ def make_sharded_step_fn(cfg: SlamConfig, mesh: Mesh, donate: bool = True):
     Returns ``step(state, z, z_mask, control, dt, do_predict) -> (state, out)``
     where the state stays resident and sharded across the mesh between calls.
     """
+    cfg = _cfg_for_mesh(cfg, mesh)
     example = init_state(cfg, mesh.devices.size)  # shapes only, for specs
     st_sh = state_shardings(mesh, example)
     repl = NamedSharding(mesh, P())
@@ -111,6 +143,7 @@ def make_sharded_scan_fn(cfg: SlamConfig, mesh: Mesh, donate: bool = True):
     """Jit a whole-sequence lax.scan over the sharded step (run_scanned's
     device loop, but multi-chip). Inputs are the stacked per-step schedule
     arrays; all T steps execute on device with ICI collectives only."""
+    cfg = _cfg_for_mesh(cfg, mesh)
     example = init_state(cfg, mesh.devices.size)
     st_sh = state_shardings(mesh, example)
     repl = NamedSharding(mesh, P())

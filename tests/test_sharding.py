@@ -145,3 +145,27 @@ def test_distributed_module_single_host():
     assert mesh.devices.size == len(jax.devices())
     assert distributed.process_local_batch(len(jax.devices()) * 4) \
         == len(jax.devices()) * 4  # one process owns everything
+
+
+def test_make_mesh_fallback_and_cfg_resolution():
+    """make_mesh must fall back to the CPU backend when the default backend
+    has fewer devices than requested (the driver's virtual-mesh dry run —
+    the axon sitecustomize overrides JAX_PLATFORMS=cpu, so the fallback is
+    the only reliable route), and auto Pallas knobs must resolve against the
+    MESH platform, not the default backend (Mosaic doesn't compile on CPU)."""
+    import pytest
+
+    from phdslam_tpu.config import SlamConfig
+    from phdslam_tpu.parallel.sharding import _cfg_for_mesh, make_mesh
+
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+    with pytest.raises(ValueError):
+        make_mesh(10_000)
+
+    cfg = SlamConfig(n_particles=8, pallas_merge=1, pallas_detect=1)
+    r = _cfg_for_mesh(cfg, mesh)  # CPU mesh -> auto resolves to XLA path
+    assert (r.pallas_merge, r.pallas_detect) == (0, 0)
+    cfg2 = SlamConfig(n_particles=8, pallas_merge=2, pallas_detect=2)
+    r2 = _cfg_for_mesh(cfg2, mesh)  # forced-interpret knobs pass through
+    assert (r2.pallas_merge, r2.pallas_detect) == (2, 2)
