@@ -18,8 +18,17 @@ try:
 except Exception:  # pragma: no cover
     _HAVE_SCIPY = False
 
+try:  # native JV solver — the compiled-Munkres role of munkres_step4.pyx
+    from ..runtime.native import munkres as _native_munkres
+except Exception:  # pragma: no cover
+    _native_munkres = None
+
 
 def _hungarian(cost: np.ndarray):
+    if _native_munkres is not None and cost.shape[0] <= cost.shape[1] \
+            and np.all(np.isfinite(cost)):
+        r, c = _native_munkres.assign(np.ascontiguousarray(cost, np.float64))
+        return r, c
     if _HAVE_SCIPY:
         return linear_sum_assignment(cost)
     # tiny fallback: greedy (only used if scipy is unavailable)

@@ -1,8 +1,10 @@
 """Native (C++) runtime components, built on demand with the system g++.
 
 ``textio`` — fast dataset parsing / log writing (CPython C API + numpy).
-The build is attempted once per interpreter; failures fall back silently to
-the pure-Python implementations in runtime/io.py.
+``munkres`` — Jonker-Volgenant assignment solver for OSPA scoring (the
+reference's counterpart is compiled Cython, python/munkres_step4.pyx).
+Builds are attempted once per interpreter; failures fall back silently to
+the pure-Python/scipy implementations.
 """
 
 from __future__ import annotations
@@ -40,12 +42,17 @@ def _build(name: str) -> bool:
         return False
 
 
-textio = None
-if os.environ.get("PHDSLAM_NO_NATIVE") != "1" and _build("textio"):
+def _load(name: str):
+    if os.environ.get("PHDSLAM_NO_NATIVE") == "1" or not _build(name):
+        return None
     try:
         sys.path.insert(0, _HERE)
-        import textio  # type: ignore  # noqa: F401
+        return __import__(name)
     except Exception:  # pragma: no cover
-        textio = None
+        return None
     finally:
         sys.path.remove(_HERE)
+
+
+textio = _load("textio")
+munkres = _load("munkres")

@@ -72,3 +72,43 @@ def test_write_state_lines(tmp_path):
     assert lines[0].split() == ["1.5", "-2", "3e-07"]
     assert lines[1] == ""
     assert lines[2].split() == ["42"]
+
+
+def test_native_munkres_optimal_vs_scipy():
+    """The native JV solver (runtime/native/munkres.cpp — the compiled-
+    assignment role of the reference's munkres_step4.pyx) must return an
+    optimal matching: same total cost as scipy's linear_sum_assignment on
+    random rectangular instances, and a valid permutation."""
+    pytest.importorskip("scipy")
+    from scipy.optimize import linear_sum_assignment
+
+    from phdslam_tpu.runtime.native import munkres
+
+    assert munkres is not None, "native munkres failed to build"
+    rng = np.random.default_rng(0)
+    for trial in range(30):
+        m = int(rng.integers(1, 12))
+        n = int(rng.integers(m, 15))
+        cost = rng.uniform(0, 10, size=(m, n))
+        if trial % 3 == 0:  # degenerate ties: the OSPA cutoff saturates
+            cost = np.minimum(cost, 5.0)
+        r, c = munkres.assign(cost)
+        sr, sc = linear_sum_assignment(cost)
+        assert sorted(r.tolist()) == list(range(m))
+        assert len(set(c.tolist())) == m
+        np.testing.assert_allclose(cost[r, c].sum(), cost[sr, sc].sum(),
+                                   rtol=1e-12)
+
+
+def test_native_munkres_edge_cases():
+    from phdslam_tpu.runtime.native import munkres
+
+    assert munkres is not None
+    r, c = munkres.assign(np.zeros((0, 3)))
+    assert len(r) == 0 and len(c) == 0
+    r, c = munkres.assign(np.array([[3.0, 1.0, 2.0]]))
+    assert r.tolist() == [0] and c.tolist() == [1]
+    with pytest.raises(ValueError):
+        munkres.assign(np.zeros((3, 2)))  # m > n rejected
+    with pytest.raises(ValueError):
+        munkres.assign(np.array([[np.nan, 1.0]]))
