@@ -169,3 +169,38 @@ def test_make_mesh_fallback_and_cfg_resolution():
     cfg2 = SlamConfig(n_particles=8, pallas_merge=2, pallas_detect=2)
     r2 = _cfg_for_mesh(cfg2, mesh)  # forced-interpret knobs pass through
     assert (r2.pallas_merge, r2.pallas_detect) == (2, 2)
+
+
+@pytest.mark.parametrize("variant_kw", [
+    dict(filter_type=1, max_cardinality=24),        # CPHD
+    dict(feature_model=2, dynamic_features=True),   # mixed jump-Markov
+], ids=["cphd", "mixed"])
+def test_sharded_variants_match_unsharded(mesh, variant_kw):
+    """The CPHD and mixed-model branches of phd_step must survive the SPMD
+    partitioner unchanged: per-particle cardinality arrays ([P, C+1]) and the
+    dynamic map shard on the particle axis like everything else."""
+    kw = dict(variant_kw)
+    kw.pop("dynamic_features", None)
+    cfg = small_cfg(**kw)
+    z, zm = fake_inputs(cfg.max_measurements)
+    ctrl = jnp.zeros((2,), jnp.float32)
+
+    ref_step = make_step_fn(cfg, donate=False)
+    sh_step = make_sharded_step_fn(cfg, mesh, donate=False)
+    st_ref = init_state(cfg)
+    st_sh = init_sharded_state(cfg, mesh)
+
+    for n in range(4):
+        dp = jnp.asarray(n > 0)
+        st_ref, out_ref = ref_step(st_ref, z, zm, ctrl, jnp.float32(0.1), dp)
+        st_sh, out_sh = sh_step(st_sh, z, zm, ctrl, jnp.float32(0.1), dp)
+
+    np.testing.assert_allclose(np.asarray(out_sh.expected_pose),
+                               np.asarray(out_ref.expected_pose),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_sh.log_weight),
+                               np.asarray(st_ref.log_weight),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_sh.cardinality),
+                               np.asarray(out_ref.cardinality),
+                               rtol=2e-4, atol=2e-4)
