@@ -72,6 +72,65 @@ def evaluate_dataset(cfg_path: str, repo_root: str = ".",
     }
 
 
+def evaluate_disparity(cfg_path: str = "cfg/disparity.cfg",
+                       n_landmarks: int = 25, n_steps: int = 60,
+                       seed: int = 0, follow_trajectory: bool = True,
+                       ospa_c: float = 1.0, work_dir: Optional[str] = None):
+    """Mapping accuracy of the monocular SC-PHD pipeline.
+
+    Generates a synthetic camera world (simdata.generate_disparity_world,
+    intrinsics taken from ``cfg_path``), runs the disparity filter — by
+    default in known-pose mapping mode (follow_trajectory, main.cpp:1335-1339),
+    which isolates MAP accuracy from pose drift — and scores the extracted 3D
+    landmark estimate with OSPA(1, c=``ospa_c`` m) against the landmarks that
+    were ever visible in the image during the sequence.
+    """
+    import tempfile
+
+    from ..slam_disparity import run_disparity
+    from . import simdata
+
+    cfg = load_config(cfg_path)
+    cfg.follow_trajectory = follow_trajectory
+    cfg.n_steps = n_steps
+
+    landmarks, traj, measurements = simdata.generate_disparity_world(
+        n_landmarks=n_landmarks, n_steps=n_steps, dt=cfg.dt, seed=seed,
+        fx=cfg.fx, fy=cfg.fy, u0=cfg.u0, v0=cfg.v0,
+        width=int(cfg.image_width), height=int(cfg.image_height),
+        std_uv=cfg.std_u, pd=cfg.pd, clutter_rate=cfg.clutter_rate,
+        vx=cfg.vx0)
+
+    # landmarks ever inside the image and in front of the camera
+    observed = np.zeros(len(landmarks), bool)
+    for t in range(n_steps):
+        R = simdata.camera_rotation_np(*traj[t, 3:6])
+        pc = (landmarks - traj[t, :3]) @ R
+        zc = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = cfg.u0 - cfg.fx * pc[:, 0] / zc
+            v = cfg.v0 - cfg.fy * pc[:, 1] / zc
+        observed |= ((zc < -0.5) & (u > 0) & (u < cfg.image_width)
+                     & (v > 0) & (v < cfg.image_height))
+
+    tmp = work_dir or tempfile.mkdtemp(prefix="disparity_eval_")
+    simdata.write_disparity_run_dir(tmp, measurements)
+    np.savetxt(os.path.join(tmp, "traj.txt"), traj)
+
+    res = run_disparity(cfg, data_dir=tmp)
+    st = res["final_state"]
+    best = int(np.argmax(np.asarray(st.log_weight)))
+    feat_means = np.asarray(st.cloud[best]).mean(axis=1)       # [K, 3]
+    feat_w = np.asarray(st.feat_weight[best])
+    est_map = extract_map_estimate(feat_w, feat_means)
+    o, loc, cn = ospa_distance(landmarks[observed], est_map, p=1, c=ospa_c)
+    return {
+        "ospa": float(o), "ospa_loc": float(loc), "ospa_cn": float(cn),
+        "n_true": int(observed.sum()), "n_est": len(est_map),
+        "steps_per_s": res["steps_per_s"], "n_eff": res["n_eff"],
+    }
+
+
 if __name__ == "__main__":
     import argparse
     ap = argparse.ArgumentParser()

@@ -120,3 +120,18 @@ def test_disparity_e2e_smoke():
     for t in z_np:
         d = np.linalg.norm(uvd_est[:, :2] - t, axis=1)
         assert d.min() < 15.0, (t, uvd_est)
+
+
+def test_evaluate_disparity_mapping_accuracy():
+    """Known-pose SC-PHD mapping (eval/parity.py::evaluate_disparity) must
+    recover the landmark set: cardinality within 25% and OSPA(1, c=1 m)
+    bounded. Depth is the weak monocular axis, so the localization bound is
+    loose; the cardinality bound is the sharp one (clutter-born ghosts and
+    over-merging both break it)."""
+    from phdslam_tpu.eval.parity import evaluate_disparity
+
+    r = evaluate_disparity(n_landmarks=15, n_steps=40, seed=0)
+    assert r["n_true"] == 15
+    assert abs(r["n_est"] - r["n_true"]) <= 4, r
+    assert r["ospa"] < 0.97, r
+    assert np.isfinite(r["n_eff"]).all()
