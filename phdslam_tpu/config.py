@@ -125,6 +125,15 @@ class SlamConfig:
     u0: float = 512.0
     v0: float = 384.0
     particles_per_feature: int = 100
+    # Disparity floor for re-sampled feature clouds. The reference samples
+    # merged (u,v,d) Gaussians and maps them through the 1/d singularity
+    # unguarded (sampleGaussiansKernel + disparity_to_world,
+    # phdfilter.cu:4250-4304, 4024-4047): with the wide birth prior
+    # (std_d_birth ~ disparity_birth) several percent of samples land at
+    # d <= 0, i.e. BEHIND the camera, and the poisoned cloud's next fit is
+    # a ghost feature (SURVEY.md §7.3 do-not-replicate). Clamping d to a
+    # small positive floor (max depth fx/min_disparity) removes the ghosts.
+    min_disparity: float = 0.5
 
     # -- run control
     data_directory: str = "data/"
