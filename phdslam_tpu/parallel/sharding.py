@@ -94,9 +94,21 @@ def state_shardings(mesh: Mesh, state: FilterState) -> FilterState:
 
 
 def shard_state(mesh: Mesh, state: FilterState) -> FilterState:
-    """Place a host/single-device FilterState onto the mesh."""
+    """Place a host/single-device FilterState onto the mesh.
+
+    On a multi-process mesh the leaves are passed as host (numpy) arrays in
+    global-value-on-every-process convention: init_state is deterministic in
+    cfg, so every process holds the same global value and device_put carves
+    out its addressable shards.
+    """
     sh = state_shardings(mesh, state)
-    return jax.tree.map(jax.device_put, state, sh)
+    multiproc = any(d.process_index != jax.process_index()
+                    for d in mesh.devices.flat)
+
+    def put(x, s):
+        return jax.device_put(np.asarray(x) if multiproc else x, s)
+
+    return jax.tree.map(put, state, sh)
 
 
 def init_sharded_state(cfg: SlamConfig, mesh: Mesh,

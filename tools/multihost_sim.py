@@ -1,0 +1,158 @@
+"""True multi-process execution of the distributed runtime on one machine.
+
+The reference has no multi-node story (SURVEY.md §5: single process, single
+GPU); BASELINE.md asks for filter rate "at 1 chip, 1 host, and N>=2 hosts".
+Real multi-host TPU hardware is not available in this environment, so this
+harness runs the ACTUAL multi-host code path — ``jax.distributed.initialize``
+(phdslam_tpu.parallel.distributed), a global mesh spanning the processes, and
+the same jit + NamedSharding step — as N separate OS processes with 4 virtual
+CPU devices each, wired together over the Gloo collectives backend. Every
+cross-host mechanism is exercised for real: process-local shard addressing,
+cross-process psum for weight normalization/nEff, the resampling ancestry
+all-gather, and the map-migration gather (forced by resample_threshold=1).
+
+Usage:
+    python tools/multihost_sim.py [--nproc 2] [--steps 8] [--particles 32]
+
+Prints a parity verdict (N-process trace vs single-process trace) and one
+JSON summary line.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _child(rank: int, nproc: int, port: int, steps: int, particles: int):
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from phdslam_tpu.parallel import distributed
+
+    if nproc > 1:
+        ok = distributed.initialize(f"localhost:{port}", nproc, rank)
+        assert ok and jax.process_count() == nproc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phdslam_tpu.config import SlamConfig
+    from phdslam_tpu.parallel import init_sharded_state, make_sharded_step_fn
+
+    mesh = distributed.global_mesh()
+    cfg = SlamConfig(
+        n_particles=particles, max_features=12, max_measurements=4,
+        motion_type=0, feature_model=0, filter_type=0,
+        max_range=15.0, std_range=0.25, std_bearing=0.02,
+        clutter_rate=5.0, pd=0.95, birth_weight=0.05, min_separation=2.0,
+        resample_threshold=1.0,  # resample every step: forces the migration
+        seed=3)                  # gather across process boundaries
+
+    z = np.zeros((cfg.max_measurements, 2), np.float32)
+    z[:3] = [[5.0, 0.1], [8.0, -0.4], [3.0, 1.0]]
+    zm = np.zeros((cfg.max_measurements,), bool)
+    zm[:3] = True
+    ctrl = np.zeros((2,), np.float32)
+
+    step = make_sharded_step_fn(cfg, mesh, donate=False)
+    state = init_sharded_state(cfg, mesh)
+
+    import time
+    poses, neffs = [], []
+    t0 = None
+    for n in range(steps):
+        if n == 1:
+            jax.block_until_ready(state.pose)
+            t0 = time.perf_counter()
+        state, out = step(state, jnp.asarray(z), jnp.asarray(zm),
+                          jnp.asarray(ctrl), jnp.float32(0.1),
+                          jnp.asarray(n > 0))
+        poses.append(np.asarray(out.expected_pose)[:3].tolist())
+        neffs.append(float(out.n_eff))
+    jax.block_until_ready(out.n_eff)
+    wall = time.perf_counter() - (t0 or 0.0)
+
+    if rank == 0:
+        print("RESULT " + json.dumps({
+            "poses": poses, "n_eff": neffs,
+            "steps_per_s": (steps - 1) / wall,
+            "n_processes": jax.process_count(),
+            "n_devices": len(jax.devices()),
+            "resampled": bool(out.resampled),
+        }), flush=True)
+
+
+def _run_group(nproc: int, port: int, steps: int, particles: int) -> dict:
+    procs = []
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    for r in range(nproc):
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             str(r), str(nproc), str(port), str(steps), str(particles)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=REPO))
+    result = None
+    for r, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        if p.returncode != 0:
+            raise RuntimeError(f"rank {r} failed:\n{out[-3000:]}")
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                result = json.loads(line[len("RESULT "):])
+    if result is None:
+        raise RuntimeError("no RESULT line from rank 0")
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", nargs=5, metavar=("RANK", "NPROC", "PORT",
+                                                 "STEPS", "PARTICLES"))
+    ap.add_argument("--nproc", type=int, default=2)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--particles", type=int, default=32)
+    ap.add_argument("--port", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.child:
+        _child(*(int(x) for x in args.child))
+        return
+
+    import socket
+    port = args.port
+    if not port:
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+
+    ref = _run_group(1, port, args.steps, args.particles)
+    dist = _run_group(args.nproc, port, args.steps, args.particles)
+
+    import numpy as np
+    pose_err = float(np.max(np.abs(
+        np.asarray(dist["poses"]) - np.asarray(ref["poses"]))))
+    neff_err = float(np.max(np.abs(
+        np.asarray(dist["n_eff"]) - np.asarray(ref["n_eff"]))))
+    parity = pose_err < 5e-4 and neff_err < 5e-4
+    print(f"1-process trace vs {args.nproc}-process trace: "
+          f"max pose diff {pose_err:.2e}, max nEff diff {neff_err:.2e} -> "
+          f"{'PARITY' if parity else 'MISMATCH'}")
+    print(json.dumps({
+        "metric": "multiprocess_parity", "parity": parity,
+        "nproc": args.nproc, "global_devices": dist["n_devices"],
+        "pose_maxdiff": pose_err, "neff_maxdiff": neff_err,
+        "resample_migration_exercised": dist["resampled"],
+        "steps_per_s_1p": round(ref["steps_per_s"], 2),
+        "steps_per_s_np": round(dist["steps_per_s"], 2),
+    }))
+    sys.exit(0 if parity else 1)
+
+
+if __name__ == "__main__":
+    main()
