@@ -131,8 +131,10 @@ class SlamConfig:
     # phdfilter.cu:4250-4304, 4024-4047): with the wide birth prior
     # (std_d_birth ~ disparity_birth) several percent of samples land at
     # d <= 0, i.e. BEHIND the camera, and the poisoned cloud's next fit is
-    # a ghost feature (SURVEY.md §7.3 do-not-replicate). Clamping d to a
-    # small positive floor (max depth fx/min_disparity) removes the ghosts.
+    # a ghost feature (SURVEY.md §7.3 do-not-replicate). REFLECTING samples
+    # off this positive floor (max depth fx/min_disparity) removes the
+    # ghosts; clamping instead piles mass at the floor, whose depth
+    # leverage is just as destructive (filters/disparity.py).
     min_disparity: float = 0.5
 
     # -- run control

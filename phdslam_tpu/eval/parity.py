@@ -113,11 +113,13 @@ def evaluate_disparity(cfg_path: str = "cfg/disparity.cfg",
         observed |= ((zc < -0.5) & (u > 0) & (u < cfg.image_width)
                      & (v > 0) & (v < cfg.image_height))
 
-    tmp = work_dir or tempfile.mkdtemp(prefix="disparity_eval_")
-    simdata.write_disparity_run_dir(tmp, measurements)
-    np.savetxt(os.path.join(tmp, "traj.txt"), traj)
-
-    res = run_disparity(cfg, data_dir=tmp)
+    import contextlib
+    ctx = (contextlib.nullcontext(work_dir) if work_dir
+           else tempfile.TemporaryDirectory(prefix="disparity_eval_"))
+    with ctx as tmp:
+        simdata.write_disparity_run_dir(tmp, measurements)
+        np.savetxt(os.path.join(tmp, "traj.txt"), traj)
+        res = run_disparity(cfg, data_dir=tmp)
     st = res["final_state"]
     best = int(np.argmax(np.asarray(st.log_weight)))
     feat_means = np.asarray(st.cloud[best]).mean(axis=1)       # [K, 3]

@@ -339,11 +339,11 @@ def _disparity_update_post(mg, pre_out, cam_pose, cloud, feat_w, key,
     dlog_w = pre_out["dlog_w"]
 
     # re-particle-ize merged Gaussians (sampleGaussiansKernel :4250-4304)
-    # then transform back to world space. Samples are clamped to
-    # d >= cfg.min_disparity: the unguarded reference maps d <= 0 samples
-    # through the 1/d singularity to points BEHIND the camera, and the
-    # poisoned cloud's next moment fit becomes a persistent ghost feature
-    # (see SlamConfig.min_disparity).
+    # then transform back to world space. Samples are REFLECTED off the
+    # d = cfg.min_disparity floor: the unguarded reference maps d <= 0
+    # samples through the 1/d singularity to points BEHIND the camera, and
+    # the poisoned cloud's next moment fit becomes a persistent ghost
+    # feature (see SlamConfig.min_disparity).
     new_uvd = sample_gaussians(mg_mean, mg_cov, N, key)  # [K, N, 3]
     # reflect (not clamp) below-floor samples: clamping piles mass exactly
     # at the floor, whose 1/d world-space leverage (depth fx/min_disparity)

@@ -106,7 +106,12 @@ def shard_state(mesh: Mesh, state: FilterState) -> FilterState:
                     for d in mesh.devices.flat)
 
     def put(x, s):
-        return jax.device_put(np.asarray(x) if multiproc else x, s)
+        # an already-distributed jax.Array (e.g. state from a previous
+        # run_sharded) spans non-addressable devices — np.asarray on it
+        # raises; pass it straight to device_put instead
+        to_host = multiproc and not (isinstance(x, jax.Array)
+                                     and not x.is_fully_addressable)
+        return jax.device_put(np.asarray(x) if to_host else x, s)
 
     return jax.tree.map(put, state, sh)
 

@@ -42,17 +42,29 @@ def _build(name: str) -> bool:
         return False
 
 
-def _load(name: str):
+def _load(name: str, probe: str):
+    """Load the built extension without colliding with same-named PyPI
+    packages (e.g. ``munkres``) through sys.modules, in either import order:
+    any foreign module is set aside during the import and restored after,
+    and our entry never stays cached under the bare name. ``probe`` is an
+    attribute only our extension has (guards against a same-named module
+    shadowing from an earlier sys.path entry)."""
     if os.environ.get("PHDSLAM_NO_NATIVE") == "1" or not _build(name):
         return None
+    import importlib
+    foreign = sys.modules.pop(name, None)
+    sys.path.insert(0, _HERE)
     try:
-        sys.path.insert(0, _HERE)
-        return __import__(name)
+        mod = importlib.import_module(name)
+        return mod if hasattr(mod, probe) else None
     except Exception:  # pragma: no cover
         return None
     finally:
         sys.path.remove(_HERE)
+        sys.modules.pop(name, None)
+        if foreign is not None:
+            sys.modules[name] = foreign
 
 
-textio = _load("textio")
-munkres = _load("munkres")
+textio = _load("textio", "load_measurements")
+munkres = _load("munkres", "assign")

@@ -173,15 +173,13 @@ def test_make_mesh_fallback_and_cfg_resolution():
 
 @pytest.mark.parametrize("variant_kw", [
     dict(filter_type=1, max_cardinality=24),        # CPHD
-    dict(feature_model=2, dynamic_features=True),   # mixed jump-Markov
+    dict(feature_model=2),                          # mixed jump-Markov
 ], ids=["cphd", "mixed"])
 def test_sharded_variants_match_unsharded(mesh, variant_kw):
     """The CPHD and mixed-model branches of phd_step must survive the SPMD
     partitioner unchanged: per-particle cardinality arrays ([P, C+1]) and the
     dynamic map shard on the particle axis like everything else."""
-    kw = dict(variant_kw)
-    kw.pop("dynamic_features", None)
-    cfg = small_cfg(**kw)
+    cfg = small_cfg(**variant_kw)
     z, zm = fake_inputs(cfg.max_measurements)
     ctrl = jnp.zeros((2,), jnp.float32)
 
@@ -201,6 +199,11 @@ def test_sharded_variants_match_unsharded(mesh, variant_kw):
     np.testing.assert_allclose(np.asarray(st_sh.log_weight),
                                np.asarray(st_ref.log_weight),
                                rtol=2e-4, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(out_sh.cardinality),
-                               np.asarray(out_ref.cardinality),
-                               rtol=2e-4, atol=2e-4)
+    if variant_kw.get("filter_type") == 1:  # cardinality is CPHD-only
+        np.testing.assert_allclose(np.asarray(out_sh.cardinality),
+                                   np.asarray(out_ref.cardinality),
+                                   rtol=2e-4, atol=2e-4)
+    else:
+        np.testing.assert_allclose(np.asarray(out_sh.map_weight),
+                                   np.asarray(out_ref.map_weight),
+                                   rtol=2e-3, atol=1e-5)

@@ -63,8 +63,10 @@ def _child(rank: int, nproc: int, port: int, steps: int, particles: int):
     state = init_sharded_state(cfg, mesh)
 
     import time
+    steps = max(2, steps)  # need >=1 timed step after the warm-up step
     poses, neffs = [], []
     t0 = None
+    out = None
     for n in range(steps):
         if n == 1:
             jax.block_until_ready(state.pose)
@@ -75,7 +77,7 @@ def _child(rank: int, nproc: int, port: int, steps: int, particles: int):
         poses.append(np.asarray(out.expected_pose)[:3].tolist())
         neffs.append(float(out.n_eff))
     jax.block_until_ready(out.n_eff)
-    wall = time.perf_counter() - (t0 or 0.0)
+    wall = time.perf_counter() - t0
 
     if rank == 0:
         print("RESULT " + json.dumps({
@@ -87,27 +89,58 @@ def _child(rank: int, nproc: int, port: int, steps: int, particles: int):
         }), flush=True)
 
 
-def _run_group(nproc: int, port: int, steps: int, particles: int) -> dict:
-    procs = []
+def _run_group(nproc: int, port: int, steps: int, particles: int,
+               timeout_s: float = 480.0) -> dict:
+    """Launch the rank processes and wait for ALL of them, polling so a
+    crashed or hung rank is detected promptly and the whole group is killed
+    (a dead rank leaves its peers blocked inside a Gloo collective forever).
+    Each rank's stdout goes to its own temp file — a PIPE would stall a
+    chatty rank once the 64 KB pipe buffer fills while the parent waits."""
+    import tempfile
+    import time
+
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    for r in range(nproc):
-        procs.append(subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--child",
-             str(r), str(nproc), str(port), str(steps), str(particles)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True, env=env, cwd=REPO))
-    result = None
-    for r, p in enumerate(procs):
-        out, _ = p.communicate(timeout=600)
-        if p.returncode != 0:
-            raise RuntimeError(f"rank {r} failed:\n{out[-3000:]}")
-        for line in out.splitlines():
+    procs, logs = [], []
+    try:
+        for r in range(nproc):
+            logs.append(tempfile.TemporaryFile(mode="w+", prefix=f"mh{r}_"))
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 str(r), str(nproc), str(port), str(steps), str(particles)],
+                stdout=logs[-1], stderr=subprocess.STDOUT,
+                text=True, env=env, cwd=REPO))
+        deadline = time.monotonic() + timeout_s
+        while True:
+            codes = [p.poll() for p in procs]
+            if all(c is not None for c in codes):
+                break
+            failed = [r for r, c in enumerate(codes)
+                      if c is not None and c != 0]
+            if failed or time.monotonic() > deadline:
+                for p in procs:
+                    if p.poll() is None:
+                        p.kill()
+                logs[failed[0] if failed else 0].seek(0)
+                tail = logs[failed[0] if failed else 0].read()[-3000:]
+                raise RuntimeError(
+                    f"rank {'%d failed' % failed[0] if failed else 'group timed out'}:\n{tail}")
+            time.sleep(0.2)
+        for r, (p, lg) in enumerate(zip(procs, logs)):
+            if p.returncode != 0:
+                lg.seek(0)
+                raise RuntimeError(f"rank {r} failed:\n{lg.read()[-3000:]}")
+        logs[0].seek(0)
+        for line in logs[0].read().splitlines():
             if line.startswith("RESULT "):
-                result = json.loads(line[len("RESULT "):])
-    if result is None:
+                return json.loads(line[len("RESULT "):])
         raise RuntimeError("no RESULT line from rank 0")
-    return result
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for lg in logs:
+            lg.close()
 
 
 def main():
@@ -125,14 +158,18 @@ def main():
         return
 
     import socket
-    port = args.port
-    if not port:
+
+    def free_port():
         with socket.socket() as s:
             s.bind(("localhost", 0))
-            port = s.getsockname()[1]
+            return s.getsockname()[1]
 
-    ref = _run_group(1, port, args.steps, args.particles)
-    dist = _run_group(args.nproc, port, args.steps, args.particles)
+    # nproc=1 skips jax.distributed entirely — no port needed; probe the
+    # coordinator port right before the distributed group launches to keep
+    # the bind-race window minimal
+    ref = _run_group(1, 0, args.steps, args.particles)
+    dist = _run_group(args.nproc, args.port or free_port(), args.steps,
+                      args.particles)
 
     import numpy as np
     pose_err = float(np.max(np.abs(
