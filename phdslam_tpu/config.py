@@ -173,6 +173,16 @@ class SlamConfig:
     # Pallas merge: clusters extracted per while-loop trip (R-way exact
     # greedy; see ops/pallas_merge.py — R=8 measured optimal at P=512)
     merge_r_par: int = 8
+    # Fused gather+combine+merge kernel (ops/pallas_merge.py
+    # _merge_tables_kernel, D=2 fast path): 0 = off (two-kernel route:
+    # Pallas one-hot gather -> packed planes -> merge), 1 = on when the
+    # Pallas merge is available. MEASURED: only 1-2% faster end-to-end
+    # (4.59 vs 4.63 ms/step at P=512; 84.2 vs 85.7 at P=10240 — XLA
+    # already overlaps the standalone gather) at 4x the Mosaic compile
+    # cost (four width variants, ~17 min cold over the axon tunnel), so
+    # OFF by default; kept as a pinned-equivalent variant
+    # (tests/test_pallas_merge.py).
+    fused_gather_merge: int = 0
     # Fused detection+top-T Pallas kernel (ops/pallas_detect.py): 0 = off
     # (XLA grid + payload sort), 1 = auto (Mosaic kernel on TPU backends),
     # 2 = force interpret mode (CPU testing). Only engages on the fast
@@ -291,6 +301,7 @@ _OPTION_MAP = {
     "pallas_merge": "pallas_merge",
     "pallas_detect": "pallas_detect",
     "merge_r_par": "merge_r_par",
+    "fused_gather_merge": "fused_gather_merge",
 }
 
 _LINE_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*?)\s*$")

@@ -526,9 +526,19 @@ def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
         # vmap the kernel would degenerate to one particle per program),
         # kept in packed SoA planes end-to-end — [P, cap, D]-shaped
         # intermediates pad 32-64x under (8, 128) tiling
-        packed = _finish_candidates_packed(pre, D, batched=True)
-        mg = merge_batch_dispatch_packed(packed, D, cfg, K,
-                                         sorted_prefix=sorted_prefix)
+        mg = None
+        if D == 2:
+            # fully fused route: the merge kernel's prologue gathers and
+            # combines the candidates in VMEM (ops/pallas_merge.py
+            # _merge_tables_kernel) — the packed planes and two extra
+            # kernel launches disappear
+            from ..ops.gm_merge import merge_batch_dispatch_tables
+            mg = merge_batch_dispatch_tables(pre["gather"], cfg, K,
+                                             sorted_prefix=sorted_prefix)
+        if mg is None:
+            packed = _finish_candidates_packed(pre, D, batched=True)
+            mg = merge_batch_dispatch_packed(packed, D, cfg, K,
+                                             sorted_prefix=sorted_prefix)
     else:
         cm, cc, cw, ca = pre["cand"]
         mg = merge_batch_dispatch(cm, cc, cw, ca, cfg, K,

@@ -283,6 +283,62 @@ def merge_batch_dispatch_packed(packed, D, cfg, out_cap,
                           out_cap, cfg.distance_metric)
 
 
+def merge_batch_dispatch_tables(gather, cfg, out_cap, sorted_prefix=False):
+    """Fused gather+combine+merge dispatch (D = 2 fast path).
+
+    Takes the deferred-gather dict of filters.phd._update_single_pre
+    (k_eff/m_eff/is_p/is_d/sel_act/cand_w [P, cap] + tables t_k/t_m) and
+    runs ops.pallas_merge.gm_merge_pallas_batch_tables — the packed
+    [P, C, cap] candidate planes never materialize. Returns the mg tuple,
+    or ``None`` when the fused kernel is not eligible (caller falls back to
+    the two-kernel gather -> packed-merge route). Width switching slices
+    the per-lane planes exactly like merge_batch_dispatch_packed; the
+    source tables stay full-width.
+    """
+    if not (cfg.pallas_merge and getattr(cfg, "fused_gather_merge", 1)
+            and cfg.distance_metric in (0, 1)):
+        return None
+    from .pallas_merge import gm_merge_pallas_batch_tables, pallas_available
+    interpret = cfg.pallas_merge == 2
+    if not (interpret or pallas_available()):
+        return None
+
+    import functools as _ft
+    ints = jnp.stack([gather["k_eff"], gather["m_eff"],
+                      gather["is_p"].astype(jnp.int32),
+                      gather["is_d"].astype(jnp.int32)], axis=1)
+    flts = jnp.stack([gather["cand_w"],
+                      gather["sel_act"].astype(jnp.float32)], axis=1)
+    t_k, t_m = gather["t_k"], gather["t_m"]
+    rp = max(1, getattr(cfg, "merge_r_par", 8))
+    fn = _ft.partial(gm_merge_pallas_batch_tables,
+                     metric=cfg.distance_metric, sorted_w=sorted_prefix,
+                     r_par=rp, interpret=interpret)
+
+    N = ints.shape[-1]
+    widths = []
+    for frac in (4, 2, 1.3333333):
+        w = -(-int(N // frac) // 128) * 128          # ceil to lane tile
+        if 0 < w < N and w not in widths:
+            widths.append(w)
+    widths.append(N)
+    if sorted_prefix and len(widths) > 1:
+        n_live = jnp.max(jnp.sum(
+            (gather["sel_act"] & (gather["cand_w"] > 0)).astype(jnp.int32),
+            axis=1))
+        sel = sum((n_live > w).astype(jnp.int32) for w in widths[:-1])
+
+        def make_branch(w):
+            def branch(i_, f_, tk_, tm_):
+                return fn(i_[:, :, :w], f_[:, :, :w], tk_, tm_,
+                          float(cfg.min_separation), out_cap)
+            return branch
+
+        return jax.lax.switch(sel, [make_branch(w) for w in widths],
+                              ints, flts, t_k, t_m)
+    return fn(ints, flts, t_k, t_m, float(cfg.min_separation), out_cap)
+
+
 def select_live_topT(grid, thr, T):
     """Heaviest-T live detection lanes per measurement (single particle).
 

@@ -68,16 +68,22 @@ def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation,
     Induction on the true greedy sequence shows the valid principals and
     their clusters match the sequential loop exactly.
     """
+    x = in_ref[:]                      # [B, 7, N]
+    _merge_core_2d(x[:, 0, :], x[:, 1, :], x[:, 2, :], x[:, 3, :],
+                   x[:, 4, :], x[:, 5, :], x[:, 6, :], out_ref,
+                   n_cand=n_cand, out_cap=out_cap,
+                   min_separation=min_separation, block=block,
+                   r_par=r_par, metric=metric, sorted_w=sorted_w)
+
+
+def _merge_core_2d(w, act, mx, my, c00, c01, c11, out_ref, *, n_cand,
+                   out_cap, min_separation, block, r_par, metric=0,
+                   sorted_w=False):
+    """The [B, N]-plane greedy-merge loop shared by the packed-input kernel
+    (:func:`_merge_kernel`) and the fused gather+merge kernel
+    (:func:`_merge_tables_kernel`)."""
     B = block
     R = r_par
-    x = in_ref[:]                      # [B, 7, N]
-    w = x[:, 0, :]                     # [B, N]
-    act = x[:, 1, :]
-    mx = x[:, 2, :]
-    my = x[:, 3, :]
-    c00 = x[:, 4, :]
-    c01 = x[:, 5, :]
-    c11 = x[:, 6, :]
 
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (B, n_cand), 1)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (B, out_cap), 1)
@@ -316,8 +322,13 @@ def gm_merge_pallas_batch_packed(packed, min_separation, out_cap,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(packed)
-    out = out[:P]
+    return _merge_out_2d(out, P)
 
+
+def _merge_out_2d(out, P):
+    """[P_pad, 8, K] kernel output planes -> (mean, cov, w, n_merged,
+    n_dropped) in array form, empty slots sanitized to (0, I)."""
+    out = out[:P]
     out_w = out[:, 0, :]
     out_mean = jnp.stack([out[:, 1, :], out[:, 2, :]], axis=-1)
     o00, o01, o11 = out[:, 3, :], out[:, 4, :], out[:, 5, :]
@@ -332,6 +343,138 @@ def gm_merge_pallas_batch_packed(packed, min_separation, out_cap,
     n_merged = jnp.sum((out_w > 0).astype(jnp.int32), axis=-1)
     n_dropped = out[:, 6, 0].astype(jnp.int32)
     return out_mean, out_cov, out_w, n_merged, n_dropped
+
+
+def _merge_tables_kernel(ints_ref, flts_ref, tk_ref, tm_ref, out_ref,
+                         scratch_ref, *, n_cand, out_cap, min_separation,
+                         block, r_par, metric=0, sorted_w=False):
+    """FUSED candidate gather + combine + greedy merge (D = 2).
+
+    Builds the merge-candidate planes in VMEM straight from the deferred-
+    gather tables (ops.ekf.candidate_tables_T + candidate_gather_indices)
+    and runs :func:`_merge_core_2d` on them — the packed [P, 7, cap]
+    intermediate of the two-kernel route (ops/pallas_select.py one-hot
+    gather -> combine_selected_planes -> merge) never exists, in VMEM or
+    HBM, and one kernel launch replaces three.
+
+    Inputs per block:
+      ints [B, 4, N] int32: k_eff, m_eff, is_p, is_d
+      flts [B, 2, N] f32:  cand_w, sel_act
+      tk   [B, Ck, K] f32: mean | cov row-major | cov_upd | gain | r | bear
+      tm   [B, Cm, M] f32: zr | zb | birth mean | birth cov row-major
+    """
+    from .pallas_detect import _wrap_angle
+
+    B = block
+    ints = ints_ref[:]
+    flts = flts_ref[:]
+    k_eff = ints[:, 0, :]                          # [B, N]
+    m_eff = ints[:, 1, :]
+    is_p = ints[:, 2, :] > 0
+    is_d = ints[:, 3, :] > 0
+    w = flts[:, 0, :]
+    sel = flts[:, 1, :] > 0.5
+
+    tk = tk_ref[:]                                 # [B, Ck, K]
+    tm = tm_ref[:]                                 # [B, Cm, M]
+    Kf, Mf = tk.shape[2], tm.shape[2]
+
+    # one-hot row fetch on the MXU (exact copies: one f32 term per output)
+    iota_kf = jax.lax.broadcasted_iota(jnp.int32, (B, Kf, n_cand), 1)
+    oh_k = (k_eff[:, None, :] == iota_kf).astype(jnp.float32)
+    iota_mf = jax.lax.broadcasted_iota(jnp.int32, (B, Mf, n_cand), 1)
+    oh_m = (m_eff[:, None, :] == iota_mf).astype(jnp.float32)
+    r_k = jnp.stack([jnp.dot(tk[b], oh_k[b],
+                             preferred_element_type=jnp.float32)
+                     for b in range(B)])           # [B, Ck, N]
+    r_m = jnp.stack([jnp.dot(tm[b], oh_m[b],
+                             preferred_element_type=jnp.float32)
+                     for b in range(B)])           # [B, Cm, N]
+
+    # combine (== ops.ekf.combine_selected_planes for D=2, has_birth=True;
+    # row offsets: cov@2, cov_upd@6, gain@10, r@14, bearing@15 / birth
+    # mean@2, birth cov@4)
+    tkc = lambda c: r_k[:, c, :]
+    tmc = lambda c: r_m[:, c, :]
+    innov_r = tmc(0) - tkc(14)
+    innov_b = _wrap_angle(tmc(1) - tkc(15))
+    means = []
+    for i in range(2):
+        mk = tkc(i)
+        md = mk + tkc(10 + 2 * i) * innov_r + tkc(11 + 2 * i) * innov_b
+        mp = jnp.where(is_p, mk, jnp.where(is_d, md, tmc(2 + i)))
+        means.append(jnp.where(sel, mp, 0.0))
+    covs = []
+    for a, b2 in ((0, 0), (0, 1), (1, 1)):
+        cp = jnp.where(is_p, tkc(2 + a * 2 + b2),
+                       jnp.where(is_d, tkc(6 + a * 2 + b2),
+                                 tmc(4 + a * 2 + b2)))
+        covs.append(jnp.where(sel, cp, 1.0 if a == b2 else 0.0))
+
+    # stage the combined planes through VMEM scratch: the dot-derived
+    # values carry a matmul-output layout that _lane_cumsum's pltpu.roll
+    # cannot relayout ("Not implemented: Lane broadcast" in Mosaic); a
+    # write+read round-trip through the scratch ref makes them canonical
+    scratch_ref[:, 0, :] = jnp.where(sel, w, 0.0)
+    scratch_ref[:, 1, :] = sel.astype(jnp.float32)
+    scratch_ref[:, 2, :] = means[0]
+    scratch_ref[:, 3, :] = means[1]
+    scratch_ref[:, 4, :] = covs[0]
+    scratch_ref[:, 5, :] = covs[1]
+    scratch_ref[:, 6, :] = covs[2]
+    x = scratch_ref[:]
+    _merge_core_2d(x[:, 0, :], x[:, 1, :], x[:, 2, :], x[:, 3, :],
+                   x[:, 4, :], x[:, 5, :], x[:, 6, :], out_ref,
+                   n_cand=n_cand, out_cap=out_cap,
+                   min_separation=min_separation, block=B, r_par=r_par,
+                   metric=metric, sorted_w=sorted_w)
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
+                                             "interpret", "r_par", "metric",
+                                             "sorted_w"))
+def gm_merge_pallas_batch_tables(ints, flts, t_k, t_m, min_separation,
+                                 out_cap, interpret=False, r_par=8,
+                                 metric=0, sorted_w=False):
+    """Fused gather+combine+merge entry point (D = 2).
+
+    ints [P, 4, N] int32 (k_eff, m_eff, is_p, is_d), flts [P, 2, N] f32
+    (cand_w, sel_act), t_k [P, Ck, K], t_m [P, Cm, M] — the deferred-gather
+    payload of filters.phd._update_single_pre. Returns the same
+    (mean [P, K', 2], cov, w, n_merged, n_dropped) as
+    gm_merge_pallas_batch_packed.
+    """
+    P, _, N = ints.shape
+    B = _MERGE_BLOCK if P >= _MERGE_BLOCK else P
+    P_pad = ((P + B - 1) // B) * B
+    if P_pad != P:
+        pad = lambda x: jnp.concatenate(
+            [x, jnp.zeros((P_pad - P,) + x.shape[1:], x.dtype)], axis=0)
+        ints, flts, t_k, t_m = pad(ints), pad(flts), pad(t_k), pad(t_m)
+
+    Ck, Kf = t_k.shape[1], t_k.shape[2]
+    Cm, Mf = t_m.shape[1], t_m.shape[2]
+    out = pl.pallas_call(
+        functools.partial(_merge_tables_kernel, n_cand=N, out_cap=out_cap,
+                          min_separation=float(min_separation), block=B,
+                          r_par=max(1, r_par), metric=metric,
+                          sorted_w=sorted_w),
+        out_shape=jax.ShapeDtypeStruct((P_pad, 8, out_cap), jnp.float32),
+        grid=(P_pad // B,),
+        in_specs=[pl.BlockSpec((B, 4, N), lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((B, 2, N), lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((B, Ck, Kf), lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((B, Cm, Mf), lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((B, 8, out_cap), lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, 7, N), jnp.float32)],
+        interpret=interpret,
+    )(ints, flts, t_k, t_m)
+    return _merge_out_2d(out, P)
 
 
 # -----------------------------------------------------------------------------

@@ -272,3 +272,44 @@ def test_uncompacted_layout_not_width_switched():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_fused_gather_merge_matches_two_kernel_route():
+    """The fused gather+combine+merge kernel (ops/pallas_merge.py
+    _merge_tables_kernel, cfg.fused_gather_merge=1) must produce exactly the
+    two-kernel route's results (Pallas one-hot gather -> packed planes ->
+    packed merge) on the full batched update, interpret mode."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from phdslam_tpu.config import SlamConfig
+    from phdslam_tpu.filters import phd
+
+    cfg = SlamConfig(
+        n_particles=8, max_features=16, max_measurements=8,
+        motion_type=0, feature_model=0, max_range=15.0, std_range=0.25,
+        std_bearing=0.02, clutter_rate=5.0, pd=0.95, birth_weight=0.05,
+        min_separation=2.0, seed=0, pallas_merge=2, pallas_detect=0,
+        merge_candidate_cap=64, detection_topk=4)
+    rng = np.random.default_rng(0)
+    P, K, M = cfg.n_particles, cfg.max_features, cfg.max_measurements
+    pose = jnp.asarray(rng.normal(0, 1, (P, 6)).astype(np.float32))
+    mean = jnp.asarray(rng.uniform(-10, 10, (P, K, 2)).astype(np.float32))
+    cov = jnp.asarray(np.broadcast_to(
+        np.eye(2, dtype=np.float32) * 0.3, (P, K, 2, 2)).copy())
+    weight = jnp.asarray((rng.random((P, K)) < 0.7).astype(np.float32)
+                         * rng.random((P, K)).astype(np.float32))
+    z = jnp.asarray(rng.uniform(0, 8, (M, 2)).astype(np.float32))
+    zm = jnp.asarray(np.arange(M) < 5)
+
+    def run(fused):
+        c = dataclasses.replace(cfg, fused_gather_merge=fused)
+        return jax.jit(lambda *a: phd._batched_update(*a, z, zm, c))(
+            pose, mean, cov, weight)
+
+    for a, b, name in zip(run(1), run(0),
+                          ("mean", "cov", "w", "dlogw", "overflow")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
