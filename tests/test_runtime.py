@@ -181,3 +181,47 @@ def test_log_roundtrip_analysis(batch_root, tmp_path):
     # parsed particle weights normalize
     np.testing.assert_allclose(np.exp(rec["log_weights"]).sum(), 1.0,
                                rtol=1e-3)
+
+
+def test_checkpoint_resume_sharded(tmp_path):
+    """Preemption recovery on the 8-device mesh (SURVEY.md §5): checkpoint a
+    sharded run mid-sequence, restore onto a fresh mesh, and continue — the
+    resumed trace must equal the uninterrupted one exactly (the PRNG key and
+    step counter live in the state, so the recursion is deterministic)."""
+    import jax
+
+    from phdslam_tpu.parallel import (init_sharded_state, make_mesh,
+                                      make_sharded_step_fn)
+    from phdslam_tpu.parallel.sharding import shard_state
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    cfg = small_cfg(n_particles=16)
+    step = make_sharded_step_fn(cfg, mesh, donate=False)
+    z = jnp.asarray([[5.0, 0.2], [7.0, -0.3]] + [[0, 0]] * 6, jnp.float32)
+    mask = jnp.asarray([True, True] + [False] * 6)
+    ctrl = jnp.asarray([1.0, 0.05], jnp.float32)
+
+    ref = init_sharded_state(cfg, mesh)
+    for n in range(6):
+        ref, ref_out = step(ref, z, mask, ctrl, jnp.float32(0.1),
+                            jnp.asarray(n > 0))
+
+    st = init_sharded_state(cfg, mesh)
+    for n in range(3):
+        st, _ = step(st, z, mask, ctrl, jnp.float32(0.1), jnp.asarray(n > 0))
+    path = str(tmp_path / "ckpt_sharded")
+    save_checkpoint(path, st)
+
+    restored = load_checkpoint(path, init_state(cfg))   # host pytree
+    st2 = shard_state(make_mesh(8), restored)           # back onto a mesh
+    for n in range(3, 6):
+        st2, out = step(st2, z, mask, ctrl, jnp.float32(0.1),
+                        jnp.asarray(True))
+
+    np.testing.assert_allclose(np.asarray(out.expected_pose),
+                               np.asarray(ref_out.expected_pose),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(st2), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
