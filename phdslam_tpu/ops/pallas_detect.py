@@ -100,12 +100,27 @@ def _detect_kernel(planes_ref, z_ref, out_ref, *, n_feat, n_meas, top_t,
         vals_cols + idx_cols + [norm, count], axis=-1)         # [B, M, 2T+2]
 
 
+def _pick_block(P, M, K, T):
+    """Largest particle block whose live VMEM fits the ~16 MB scoped limit.
+
+    The kernel holds ~9 [B, M, K] f32-equivalent values at once (pdw, work,
+    iota, live/tie masks and their temporaries — 21.18 MB measured at
+    B=8, M=72, K=1024 ≈ 9 planes). At the reference shapes (K=128) this
+    still picks B=8; dense worlds (K=1024, cfg/dense.cfg) drop to B=4/2.
+    """
+    budget = 13 * 1024 * 1024
+    for B in (_BLOCK, 4, 2):
+        if B <= P and 9 * B * M * K * 4 + B * 6 * K * 4 <= budget:
+            return B
+    return 1
+
+
 def _detect_call(planes, z4, top_t, min_fw, cb, interpret):
     """One pallas_call at a fixed measurement width M = z4.shape[0]."""
     P, _, K = planes.shape
     M = z4.shape[0]
     T = top_t
-    B = _BLOCK if P >= _BLOCK else P
+    B = _pick_block(P, M, K, T) if P >= _BLOCK else P
     P_pad = ((P + B - 1) // B) * B
     if P_pad != P:
         planes = jnp.concatenate(

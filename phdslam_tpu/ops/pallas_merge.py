@@ -379,17 +379,27 @@ def _merge_tables_kernel(ints_ref, flts_ref, tk_ref, tm_ref, out_ref,
     tm = tm_ref[:]                                 # [B, Cm, M]
     Kf, Mf = tk.shape[2], tm.shape[2]
 
-    # one-hot row fetch on the MXU (exact copies: one f32 term per output)
-    iota_kf = jax.lax.broadcasted_iota(jnp.int32, (B, Kf, n_cand), 1)
-    oh_k = (k_eff[:, None, :] == iota_kf).astype(jnp.float32)
-    iota_mf = jax.lax.broadcasted_iota(jnp.int32, (B, Mf, n_cand), 1)
-    oh_m = (m_eff[:, None, :] == iota_mf).astype(jnp.float32)
-    r_k = jnp.stack([jnp.dot(tk[b], oh_k[b],
-                             preferred_element_type=jnp.float32)
-                     for b in range(B)])           # [B, Ck, N]
-    r_m = jnp.stack([jnp.dot(tm[b], oh_m[b],
-                             preferred_element_type=jnp.float32)
-                     for b in range(B)])           # [B, Cm, N]
+    # one-hot row fetch on the MXU (exact copies: one f32 term per output),
+    # chunked along lanes so the one-hot's VMEM footprint stays bounded at
+    # dense shapes (see ops/pallas_select.py _OH_CHUNK)
+    def fetch(tab, eff_row, n_rows):
+        chunk = 512
+        cols = []
+        for lo in range(0, n_cand, chunk):
+            hi = min(lo + chunk, n_cand)
+            # slice the REF per chunk: lane-slicing a loaded value at a
+            # non-zero offset lowers to an unsupported Mosaic gather
+            eff_c = ints_ref[:, eff_row, lo:hi]    # [B, chunk] int32
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (B, n_rows, hi - lo), 1)
+            oh = (eff_c[:, None, :] == iota).astype(jnp.float32)
+            cols.append(jnp.stack([
+                jnp.dot(tab[b], oh[b], preferred_element_type=jnp.float32)
+                for b in range(B)]))
+        return cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=-1)
+
+    r_k = fetch(tk, 0, Kf)                         # [B, Ck, N]
+    r_m = fetch(tm, 1, Mf)                         # [B, Cm, N]
 
     # combine (== ops.ekf.combine_selected_planes for D=2, has_birth=True;
     # row offsets: cov@2, cov_upd@6, gain@10, r@14, bearing@15 / birth

@@ -26,20 +26,48 @@ from jax.experimental.pallas import tpu as pltpu
 _BLOCK = 8
 
 
+_OH_CHUNK = 512  # one-hot lane chunk: bounds VMEM at B * R * 512 * 4 bytes
+
+
+def _pick_gather_block(P, R, cap, C):
+    """Largest particle block whose transient one-hot (+ operands) fits in
+    scoped VMEM. Live ≈ 2.5 one-hot-sized values (iota + compare + f32) per
+    chunk plus the tables; at reference shapes (R=128, cap=512) this keeps
+    B=8, at dense shapes (R=1024) it drops to 2."""
+    chunk = min(cap, _OH_CHUNK)
+    budget = 12 * 1024 * 1024
+    for B in (_BLOCK, 4, 2):
+        live = B * 4 * (int(2.5 * R * chunk) + C * R + C * cap)
+        if B <= P and live <= budget:
+            return B
+    return 1
+
+
 def _cols_kernel(idx_ref, tab_ref, out_ref, *, n_rows, block):
     """Transposed gather: out[b, :, c] = tab[b, :, idx[b, c]].
 
-    idx [B, cap] int32, tab [B, C, R], out [B, C, cap]. The one-hot sits
+    idx [B, 1, cap] int32 (the singleton keeps the block's trailing dims
+    equal to the array dims — Mosaic requires sublane divisibility by 8
+    otherwise, which a VMEM-shrunk block B < 8 violates), tab [B, C, R],
+    out [B, C, cap]. The one-hot sits
     on the RIGHT of the dot ([C, R] @ [R, cap]) so the result keeps the
-    lane axis (cap) minor — no (8, 128)-tiling padding downstream.
+    lane axis (cap) minor — no (8, 128)-tiling padding downstream. The
+    one-hot is built in <= _OH_CHUNK-lane chunks so its VMEM footprint is
+    bounded regardless of cap (a full [B, 1024, 1536] one-hot at dense
+    shapes would be 50 MB).
     """
-    idx = idx_ref[:]                       # [B, cap] int32
-    cap = idx.shape[1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (block, n_rows, cap), 1)
-    oh = (idx[:, None, :] == iota).astype(jnp.float32)   # [B, R, cap]
-    for b in range(block):
-        out_ref[b] = jnp.dot(tab_ref[b], oh[b],
-                             preferred_element_type=jnp.float32)
+    cap = idx_ref.shape[2]
+    for lo in range(0, cap, _OH_CHUNK):
+        hi = min(lo + _OH_CHUNK, cap)
+        # chunk loads slice the REF: lane-slicing a loaded value at a
+        # non-zero offset lowers to an unsupported Mosaic gather
+        idx_c = idx_ref[:, 0, lo:hi]       # [B, chunk] int32
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (block, n_rows, hi - lo), 1)
+        oh = (idx_c[:, None, :] == iota).astype(jnp.float32)
+        for b in range(block):
+            out_ref[b, :, lo:hi] = jnp.dot(
+                tab_ref[b], oh[b], preferred_element_type=jnp.float32)
 
 
 def onehot_cols_xla(idx, tab_t):
@@ -64,7 +92,7 @@ def onehot_cols_batch(idx, tab_t, interpret=False):
 
     P, cap = idx.shape
     C, R = tab_t.shape[1], tab_t.shape[2]
-    B = _BLOCK if P >= _BLOCK else P
+    B = _pick_gather_block(P, R, cap, C) if P >= _BLOCK else P
     P_pad = ((P + B - 1) // B) * B
     if P_pad != P:
         idx = jnp.concatenate(
@@ -76,25 +104,28 @@ def onehot_cols_batch(idx, tab_t, interpret=False):
         functools.partial(_cols_kernel, n_rows=R, block=B),
         out_shape=jax.ShapeDtypeStruct((P_pad, C, cap), jnp.float32),
         grid=(P_pad // B,),
-        in_specs=[pl.BlockSpec((B, cap), lambda p: (p, 0),
+        in_specs=[pl.BlockSpec((B, 1, cap), lambda p: (p, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((B, C, R), lambda p: (p, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((B, C, cap), lambda p: (p, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(idx, tab_t)
+    )(idx[:, None, :], tab_t)
     return out[:P]
 
 
 def _rows_kernel(idx_ref, tab_ref, out_ref, *, n_rows, block):
-    idx = idx_ref[:]                       # [B, cap] int32
-    cap = idx.shape[1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (block, cap, n_rows), 2)
-    oh = (idx[:, :, None] == iota).astype(jnp.float32)   # [B, cap, R]
-    for b in range(block):
-        out_ref[b] = jnp.dot(oh[b], tab_ref[b],
-                             preferred_element_type=jnp.float32)
+    cap = idx_ref.shape[2]
+    for lo in range(0, cap, _OH_CHUNK):    # bounded-VMEM one-hot chunks
+        hi = min(lo + _OH_CHUNK, cap)
+        idx_c = idx_ref[:, 0, lo:hi]       # [B, chunk] int32 (ref slice)
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (block, hi - lo, n_rows), 2)
+        oh = (idx_c[:, :, None] == iota).astype(jnp.float32)
+        for b in range(block):
+            out_ref[b, lo:hi, :] = jnp.dot(
+                oh[b], tab_ref[b], preferred_element_type=jnp.float32)
 
 
 def onehot_rows_xla(idx, tab):
@@ -119,7 +150,7 @@ def onehot_rows_batch(idx, tab, interpret=False):
 
     P, cap = idx.shape
     R, C = tab.shape[1], tab.shape[2]
-    B = _BLOCK if P >= _BLOCK else P
+    B = _pick_gather_block(P, R, cap, C) if P >= _BLOCK else P
     P_pad = ((P + B - 1) // B) * B
     if P_pad != P:
         idx = jnp.concatenate(
@@ -131,12 +162,12 @@ def onehot_rows_batch(idx, tab, interpret=False):
         functools.partial(_rows_kernel, n_rows=R, block=B),
         out_shape=jax.ShapeDtypeStruct((P_pad, cap, C), jnp.float32),
         grid=(P_pad // B,),
-        in_specs=[pl.BlockSpec((B, cap), lambda p: (p, 0),
+        in_specs=[pl.BlockSpec((B, 1, cap), lambda p: (p, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((B, R, C), lambda p: (p, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((B, cap, C), lambda p: (p, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(idx, tab)
+    )(idx[:, None, :], tab)
     return out[:P]
