@@ -21,10 +21,12 @@ from ..slam import SynthSLAMRunner
 def evaluate_dataset(cfg_path: str, repo_root: str = ".",
                      n_steps: Optional[int] = None,
                      overrides: Optional[dict] = None,
-                     ospa_samples: int = 32):
-    """Run the filter on a dataset (single on-device scan) and score against
-    its ground truth.
+                     ospa_samples: int = 32, runner: str = "scanned"):
+    """Run the filter on a dataset and score against its ground truth.
 
+    ``runner``: "scanned" = the whole sequence as one on-device lax.scan;
+    "chunked" = fixed-size scan chunks (use for very large configs — a
+    single long dispatch over the axon tunnel can hit the relay timeout).
     Returns dict with pose_err [T], ospa (sampled), throughput, etc.
     """
     cfg = load_config(cfg_path, overrides)
@@ -39,11 +41,14 @@ def evaluate_dataset(cfg_path: str, repo_root: str = ".",
     cum_counts = (gt["cumulative_counts"] if "cumulative_counts" in gt.files
                   else np.full(len(traj), len(landmarks)))
 
-    runner = SynthSLAMRunner(cfg, data_dir)
-    res = runner.run_scanned(collect_maps=True)
+    r = SynthSLAMRunner(cfg, data_dir)
+    if runner == "chunked":
+        res = r.run_chunked(chunk=32, collect_maps=True)
+    else:
+        res = r.run_scanned(collect_maps=True)
 
-    midx = [i for i, p in enumerate(runner.schedule) if p.z_idx >= 0]
-    zidx = [p.z_idx for p in runner.schedule if p.z_idx >= 0]
+    midx = [i for i, p in enumerate(r.schedule) if p.z_idx >= 0]
+    zidx = [p.z_idx for p in r.schedule if p.z_idx >= 0]
     est = res["est_poses"][midx]
     T = min(len(est), len(traj))
     pose_err = np.linalg.norm(est[:T, :2] - traj[np.asarray(zidx[:T]), :2],

@@ -13,7 +13,9 @@ matmul runs as multi-pass, modeled at 1/4 peak; ~819 GB/s HBM). The VPU
 elementwise bound is modeled as 8x128 lanes x 4 ALUs at ~0.94 GHz ≈ 3.8
 Tops/s f32.
 
-Usage: python tools/roofline.py [P] — prints a table + one JSON line.
+Usage: python tools/roofline.py [P] [cfg_path] — prints a table + one
+JSON line. cfg_path defaults to cfg/ackerman.cfg; pass cfg/dense.cfg to
+roofline the dense (K=1024) shapes.
 """
 
 import json
@@ -39,7 +41,7 @@ def measure(fn, *args, n=20):
     return best
 
 
-def main(P=512):
+def main(P=512, cfg_path="cfg/ackerman.cfg"):
     import jax
     import jax.numpy as jnp
 
@@ -51,16 +53,18 @@ def main(P=512):
     from phdslam_tpu.ops import ekf
     from phdslam_tpu.ops.gm_merge import merge_batch_dispatch
 
-    cfg = load_config("cfg/ackerman.cfg")
+    cfg = load_config(cfg_path)
     cfg.n_particles = P
     K, M, cap = cfg.max_features, cfg.max_measurements, cfg.merge_candidate_cap
     key = jax.random.PRNGKey(0)
     mean = jax.random.uniform(key, (P, K, 2), minval=-20, maxval=20)
-    weight = jnp.broadcast_to(jnp.where(jnp.arange(K) < 50, 0.5, 0.0), (P, K))
+    n_live = max(50, K // 3)
+    weight = jnp.broadcast_to(jnp.where(jnp.arange(K) < n_live, 0.5, 0.0),
+                              (P, K))
     cov = jnp.broadcast_to(jnp.eye(2) * 0.5, (P, K, 2, 2))
     pose = jnp.zeros((P, 6))
     z = jax.random.uniform(jax.random.PRNGKey(1), (M, 2), minval=0, maxval=8)
-    zmask = jnp.arange(M) < 29
+    zmask = jnp.arange(M) < min(29, M - 1) + (M // 3 if M > 64 else 0)
     f4 = 4
 
     rows = []
@@ -178,4 +182,5 @@ def main(P=512):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 512)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 512,
+         sys.argv[2] if len(sys.argv) > 2 else "cfg/ackerman.cfg")
