@@ -50,13 +50,25 @@ def generate_batch_datasets(out_root: str, n_runs: int = 10,
                             n_landmarks: int = 40, n_steps: int = 150,
                             dt: float = 0.1, seed: int = 0,
                             sp: Optional[simdata.SensorParams] = None,
-                            mp: Optional[simdata.AckermanParams] = None):
+                            mp: Optional[simdata.AckermanParams] = None,
+                            motion: str = "ackerman"):
     """Generate ground truth + N Monte-Carlo input dirs
-    (generate_simdata.py:34-73). Returns the ground-truth npz path."""
+    (generate_simdata.py:34-73). Returns the ground-truth npz path.
+
+    ``motion``: "ackerman" (controls + measurements per run) or "cv"
+    (constant-velocity vehicle, measurements only — the
+    measurements_synth_cv protocol).
+    """
     sp = sp or simdata.SensorParams()
     mp = mp or simdata.AckermanParams()
-    landmarks, traj, controls = simdata.generate_world(
-        n_landmarks=n_landmarks, n_steps=n_steps, dt=dt, seed=seed, mp=mp)
+    if motion == "cv":
+        landmarks, traj = simdata.generate_world_cv(
+            n_landmarks=n_landmarks, n_steps=n_steps, dt=dt, seed=seed)
+        controls = np.zeros((0, 2))
+    else:
+        landmarks, traj, controls = simdata.generate_world(
+            n_landmarks=n_landmarks, n_steps=n_steps, dt=dt, seed=seed,
+            mp=mp)
     # order landmarks by first observation so landmarks[:cum[t]] is the true
     # map at step t (batch_analyze.py scores vs the per-step true map)
     first_seen = np.full(len(landmarks), n_steps)
@@ -73,9 +85,22 @@ def generate_batch_datasets(out_root: str, n_runs: int = 10,
              cumulative_counts=cum)
     for r in range(n_runs):
         run_dir = os.path.join(out_root, f"run{r:03d}")
-        noisy_controls, measurements = simdata.generate_run(
-            landmarks, traj, controls, sp, mp, seed=seed + 1000 + r)
-        simdata.write_run_dir(run_dir, noisy_controls, measurements)
+        if motion == "cv":
+            rng = np.random.default_rng(seed + 1000 + r)
+            measurements = [simdata.noisy_measurements(traj[t], landmarks,
+                                                       sp, rng)
+                            for t in range(len(traj))]
+            os.makedirs(run_dir, exist_ok=True)
+            with open(os.path.join(run_dir, "measurements.txt"), "w") as fh:
+                fh.write("% measurements, one step per line, "
+                         "range/bearing pairs\n")
+                for Z in measurements:
+                    fh.write(" ".join("%g %g" % (z[0], z[1]) for z in Z)
+                             + " \n")
+        else:
+            noisy_controls, measurements = simdata.generate_run(
+                landmarks, traj, controls, sp, mp, seed=seed + 1000 + r)
+            simdata.write_run_dir(run_dir, noisy_controls, measurements)
     return gt_path
 
 
@@ -143,11 +168,13 @@ if __name__ == "__main__":
     ap.add_argument("--generate", type=int, metavar="N_RUNS", default=0)
     ap.add_argument("--runs", type=int, default=None)
     ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--motion", choices=("ackerman", "cv"),
+                    default="ackerman")
     args = ap.parse_args()
     cfg = load_config(args.config)
     if args.generate:
         generate_batch_datasets(args.data_root, n_runs=args.generate,
-                                n_steps=args.steps)
+                                n_steps=args.steps, motion=args.motion)
     res = run_batch(cfg, args.data_root, n_runs=args.runs, verbose=True)
     print(res.summary())
 

@@ -109,6 +109,30 @@ def generate_world(n_landmarks=80, extent=20.0, n_steps=300, dt=0.1,
     return landmarks, traj, controls
 
 
+def generate_world_cv(n_landmarks=40, extent=20.0, n_steps=150, dt=0.1,
+                      seed=0, v0=3.0, yaw_rate=0.15,
+                      std_acc=(0.3, 0.0, 0.03)):
+    """Constant-velocity-vehicle ground truth (the measurements_synth_cv
+    protocol: no controls, the vehicle follows a body-frame CV model with
+    small random accelerations — matches models.vehicle.cv_predict).
+
+    Returns (landmarks [L, 2], trajectory [T, 3] = x, y, yaw).
+    """
+    rng = np.random.default_rng(seed)
+    landmarks = rng.uniform(-extent, extent, size=(n_landmarks, 2))
+    st = np.array([0.0, 0.0, 0.0, v0, 0.0, yaw_rate])  # x y th vx vy vth
+    traj = np.zeros((n_steps, 3))
+    for t in range(n_steps):
+        traj[t] = st[:3]
+        ax, ay, ath = rng.normal(0.0, std_acc)
+        c, s = np.cos(st[2]), np.sin(st[2])
+        st[0] += dt * (st[3] * c - st[4] * s) + 0.5 * dt * dt * (ax * c - ay * s)
+        st[1] += dt * (st[3] * s + st[4] * c) + 0.5 * dt * dt * (ax * s + ay * c)
+        st[2] = wrap_angle(st[2] + dt * st[5] + 0.5 * dt * dt * ath)
+        st[3:] += dt * np.array([ax, ay, ath])
+    return landmarks, traj
+
+
 def generate_run(landmarks, traj, controls, sp: SensorParams,
                  mp: AckermanParams, seed: int):
     """One Monte-Carlo input set: noisy controls + measurements

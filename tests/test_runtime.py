@@ -225,3 +225,26 @@ def test_checkpoint_resume_sharded(tmp_path):
     for a, b in zip(jax.tree.leaves(st2), jax.tree.leaves(ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_cv_motion_mc_batch(tmp_path):
+    """CV-vehicle Monte-Carlo acceptance (the measurements_synth_cv
+    protocol): generate a controls-free CV world, run the motion_type=0
+    filter over noise realizations, and require bounded pose error."""
+    from phdslam_tpu.eval.batch import generate_batch_datasets, run_batch
+
+    root = str(tmp_path / "cvmc")
+    generate_batch_datasets(root, n_runs=2, n_landmarks=20, n_steps=40,
+                            seed=7, motion="cv")
+    assert not os.path.exists(os.path.join(root, "run000", "controls.txt"))
+    cfg = small_cfg(n_particles=64, max_features=32, max_measurements=48,
+                    motion_type=0)
+    cfg.vx0, cfg.vyaw0 = 3.0, 0.15      # CV prior matches the generator
+    cfg.ax, cfg.ayaw = 0.5, 0.05
+    cfg.max_range, cfg.std_range, cfg.std_bearing = 10.0, 1.0, 0.0349
+    cfg.clutter_rate = 20.0
+    res = run_batch(cfg, root, ospa_every=10)
+    s = res.summary()
+    assert np.isfinite(s["mean_pose_err"])
+    assert s["mean_pose_err"] < 4.0, s
+    assert np.isfinite(res.n_eff).all()
