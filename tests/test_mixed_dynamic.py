@@ -124,3 +124,19 @@ def test_mixed_e2e_separates_static_and_moving():
     # dynamic map has at least one live component near the mover's track
     w_d = np.asarray(state.map_dynamic.weight[0])
     assert (w_d > 0.2).any()
+
+
+def test_evaluate_mixed_end_to_end():
+    """Full mixed-model SLAM accuracy (eval/parity.py::evaluate_mixed): CV
+    vehicle + static landmarks + moving targets, unlabeled measurements — a
+    configuration the reference implements but ships no dataset for. The
+    cluster-process weighting (scheme 0) is required: without odometry the
+    empty-map heuristic's weights are flat and the pose random-walks."""
+    from phdslam_tpu.eval.parity import evaluate_mixed
+
+    r = evaluate_mixed(seed=0, n_particles=64, n_steps=60)
+    assert r["final_pose_err"] < 1.0, r
+    assert r["static_ospa"] < 2.5, r
+    assert r["dynamic_ospa"] < 4.8, r       # movers at least partially held
+    assert r["n_dyn_est"] >= 1, r
+    assert np.isfinite(r["n_eff"])
