@@ -44,12 +44,19 @@ def main():
     runner = fresh_runner()
     n_steps = len(runner.schedule)
 
-    def timed(run_once):
+    def timed(run_once, reps=3):
+        # best-of-3: throughput over the axon tunnel swings +-15% run to
+        # run (relay scheduling); a single timed run under-reports by up
+        # to 33% (round-1 driver artifact vs the best-of-3 anchor)
         run_once(fresh_runner())          # compile + warm caches
-        r = fresh_runner()
-        t0 = time.perf_counter()
-        run_once(r)
-        return time.perf_counter() - t0
+        best = None
+        for _ in range(reps):
+            r = fresh_runner()
+            t0 = time.perf_counter()
+            run_once(r)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
 
     try:
         wall = timed(lambda r: r.run_scanned(collect_maps=False))

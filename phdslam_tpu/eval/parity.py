@@ -140,7 +140,8 @@ def evaluate_mixed(n_landmarks: int = 30, n_movers: int = 2,
         mask[:m] = True
         state, out = step(state, jnp.asarray(z), jnp.asarray(mask), ctrl,
                           jnp.float32(dt), jnp.asarray(n > 0))
-        mv = mv + mover_v * dt
+        if n < n_steps - 1:         # keep mv at the last-measured positions
+            mv = mv + mover_v * dt
 
     est_pose_err = float(np.linalg.norm(
         np.asarray(out.expected_pose)[:2] - traj[-1, :2]))

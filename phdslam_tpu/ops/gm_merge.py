@@ -25,6 +25,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# width-switch fractions for the sorted-prefix merge dispatch
+# (quarter steps; module-level so benchmarks can A/B them)
+WIDTH_FRACS = (4, 2, 1.3333333)
+
 from .math import hellinger2, mahalanobis2, sym
 
 
@@ -183,7 +187,7 @@ def merge_batch_dispatch(mean, cov, weight, active, cfg, out_cap,
             # live counts often sit between N/2 and N — BENCH.md), ALWAYS
             # ending with the full width so no live count can be truncated
             widths = []
-            for frac in (4, 2, 1.3333333):
+            for frac in WIDTH_FRACS:
                 w = -(-int(N // frac) // 128) * 128     # ceil to lane tile
                 if 0 < w < N and w not in widths:
                     widths.append(w)
@@ -256,7 +260,7 @@ def merge_batch_dispatch_packed(packed, D, cfg, out_cap,
         if interpret or pallas_available():
             N = packed.shape[-1]
             widths = []
-            for frac in (4, 2, 1.3333333):
+            for frac in WIDTH_FRACS:
                 w = -(-int(N // frac) // 128) * 128     # ceil to lane tile
                 if 0 < w < N and w not in widths:
                     widths.append(w)
@@ -295,7 +299,7 @@ def merge_batch_dispatch_tables(gather, cfg, out_cap, sorted_prefix=False):
     the per-lane planes exactly like merge_batch_dispatch_packed; the
     source tables stay full-width.
     """
-    if not (cfg.pallas_merge and getattr(cfg, "fused_gather_merge", 1)
+    if not (cfg.pallas_merge and getattr(cfg, "fused_gather_merge", 0)
             and cfg.distance_metric in (0, 1)):
         return None
     from .pallas_merge import gm_merge_pallas_batch_tables, pallas_available
@@ -317,7 +321,7 @@ def merge_batch_dispatch_tables(gather, cfg, out_cap, sorted_prefix=False):
 
     N = ints.shape[-1]
     widths = []
-    for frac in (4, 2, 1.3333333):
+    for frac in WIDTH_FRACS:
         w = -(-int(N // frac) // 128) * 128          # ceil to lane tile
         if 0 < w < N and w not in widths:
             widths.append(w)

@@ -27,6 +27,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+# measurement-width switch fractions (module-level for A/B)
+M_FRACS = (4, 2)
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -159,7 +162,7 @@ def detection_topT_batch(planes, z4, top_t, min_fw, cb, interpret=False):
     M = z4.shape[0]
     T = top_t
     widths = []
-    for frac in (4, 2):
+    for frac in M_FRACS:
         w = -(-M // frac // 8) * 8                  # ceil to sublane tile
         if 0 < w < M and w not in widths:
             widths.append(w)

@@ -455,15 +455,28 @@ def gm_merge_pallas_batch_tables(ints, flts, t_k, t_m, min_separation,
     gm_merge_pallas_batch_packed.
     """
     P, _, N = ints.shape
-    B = _MERGE_BLOCK if P >= _MERGE_BLOCK else P
+    Ck, Kf = t_k.shape[1], t_k.shape[2]
+    Cm, Mf = t_m.shape[1], t_m.shape[2]
+    # shrink the particle block when the prologue's chunked one-hot fetch
+    # (~2.5 one-hot-sized f32 values per chunk) + tables + planes would
+    # overflow scoped VMEM at dense shapes (mirror of
+    # pallas_select._pick_gather_block)
+    chunk = min(N, 512)
+    budget = 12 * 1024 * 1024
+    B = 1
+    for cand in (_MERGE_BLOCK, 4, 2):
+        live = cand * 4 * (int(2.5 * max(Kf, Mf) * chunk)
+                           + Ck * Kf + Cm * Mf + 13 * N + 8 * out_cap)
+        if cand <= P and live <= budget:
+            B = cand
+            break
+    if P < B:
+        B = P
     P_pad = ((P + B - 1) // B) * B
     if P_pad != P:
         pad = lambda x: jnp.concatenate(
             [x, jnp.zeros((P_pad - P,) + x.shape[1:], x.dtype)], axis=0)
         ints, flts, t_k, t_m = pad(ints), pad(flts), pad(t_k), pad(t_m)
-
-    Ck, Kf = t_k.shape[1], t_k.shape[2]
-    Cm, Mf = t_m.shape[1], t_m.shape[2]
     out = pl.pallas_call(
         functools.partial(_merge_tables_kernel, n_cand=N, out_cap=out_cap,
                           min_separation=float(min_separation), block=B,

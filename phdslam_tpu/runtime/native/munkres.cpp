@@ -118,6 +118,12 @@ PyObject* py_assign(PyObject*, PyObject* args) {
             ++k;
         }
     }
+    if (k != m) {  // JV invariant: every row matched; never return garbage
+        Py_DECREF(rows); Py_DECREF(cols);
+        PyErr_SetString(PyExc_RuntimeError,
+                        "incomplete assignment (JV invariant violated)");
+        return nullptr;
+    }
     // sort by row index so output matches linear_sum_assignment's convention
     for (int64_t a = 1; a < k; ++a) {  // tiny m: insertion sort
         int64_t r0 = rp[a], c0 = cp[a], b = a - 1;
