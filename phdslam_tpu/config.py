@@ -188,6 +188,10 @@ class SlamConfig:
     # 2 = force interpret mode (CPU testing). Only engages on the fast
     # path with 0 < detection_topk < max_features.
     pallas_detect: int = 1
+    # Mixed jump-Markov fast pipeline (filters/mixed.py): 0 = per-particle
+    # reference-shaped route (merge inside vmap — the equivalence oracle),
+    # 1 = batch-hoisted two-stage selection + Pallas 2D/4D merges.
+    mixed_fast_path: int = 1
 
     # ------------------------------------------------------------------
     @property
@@ -301,6 +305,7 @@ _OPTION_MAP = {
     "pallas_merge": "pallas_merge",
     "pallas_detect": "pallas_detect",
     "merge_r_par": "merge_r_par",
+    "mixed_fast_path": "mixed_fast_path",
     "fused_gather_merge": "fused_gather_merge",
 }
 

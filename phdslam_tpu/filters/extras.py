@@ -30,12 +30,15 @@ from ..ops.math import gaussian_logpdf, safe_log
 from ..types import GMState
 
 
-def eap_expected_map(gm: GMState, log_weight, cfg: SlamConfig,
-                     out_cap=None):
-    """Expected a-posteriori map: merge the particle-weight-scaled
-    concatenation of all particles' maps (main.cpp:363-379).
+def eap_expected_map_flat(gm: GMState, log_weight, cfg: SlamConfig,
+                          out_cap=None):
+    """Expected a-posteriori map, FLAT form: merge the particle-weight-scaled
+    concatenation of all particles' maps in one greedy pass
+    (computeExpectedMap, main.cpp:363-379 — the reference's CPU reduction).
 
-    Returns (mean[out_cap, D], cov, weight).
+    O(P*K) merge lanes: fine at small P, unusable at 10k particles (10.5M
+    lanes at P=10240/K=1024, and under NamedSharding the flatten
+    all-gathers the whole map state). Prefer :func:`eap_expected_map`.
     """
     P, K, D = gm.mean.shape
     out_cap = out_cap or K
@@ -50,6 +53,55 @@ def eap_expected_map(gm: GMState, log_weight, cfg: SlamConfig,
         flat_mean, flat_cov, flat_w, active, cfg.min_separation, out_cap,
         cfg.distance_metric)
     return mean, cov, weight
+
+
+def eap_expected_map(gm: GMState, log_weight, cfg: SlamConfig,
+                     out_cap=None):
+    """Expected a-posteriori map via log2(P)-depth pairwise tree merges —
+    the reference's device-side pairwise reduction (phdfilter.cu:3828-3863:
+    repeatedly merge map pairs until one remains), batched so every level
+    is ONE batch-level merge over P/2 particle pairs.
+
+    Each level reshapes [Pl, K] -> [Pl/2, 2K] and merges each pair's 2K
+    lanes back to K clusters (the Pallas batch kernel engages on TPU).
+    Under NamedSharding the early levels pair within-shard particles; only
+    the last log2(n_devices) levels move one K-component map per device —
+    O(K D^2 log N) bytes instead of the flat form's full-state all-gather.
+
+    Returns (mean[out_cap, D], cov, weight).
+    """
+    from ..ops.gm_merge import merge_batch_dispatch
+
+    P, K, D = gm.mean.shape
+    out_cap = out_cap or K
+    if P <= 2:
+        return eap_expected_map_flat(gm, log_weight, cfg, out_cap)
+
+    eye = jnp.eye(D, dtype=gm.mean.dtype)
+    w = jnp.exp(log_weight)[:, None] * gm.weight              # [P, K]
+    act = w > 0
+    mean = jnp.where(act[..., None], gm.mean, 0.0)
+    cov = jnp.where(act[..., None, None], gm.cov, eye)
+    w = jnp.where(act, w, 0.0)
+
+    L = K
+    while mean.shape[0] > 1:
+        Pl = mean.shape[0]
+        if Pl % 2:                                   # pad one empty map
+            pad = lambda x, v: jnp.concatenate(
+                [x, jnp.full((1,) + x.shape[1:], v, x.dtype)], axis=0)
+            mean, w = pad(mean, 0.0), pad(w, 0.0)
+            cov = jnp.concatenate(
+                [cov, jnp.broadcast_to(eye, (1, L, D, D))], axis=0)
+            Pl += 1
+        mean = mean.reshape(Pl // 2, 2 * L, D)
+        cov = cov.reshape(Pl // 2, 2 * L, D, D)
+        w = w.reshape(Pl // 2, 2 * L)
+        cap = out_cap if Pl == 2 else K
+        mean, cov, w, _, _ = merge_batch_dispatch(
+            mean, cov, w, w > 0, cfg, cap)
+        L = cap
+    return mean[0], cov[0], w[0]
 
 
 def map_variance(gm: GMState, n_nondetect, key, cfg: SlamConfig):

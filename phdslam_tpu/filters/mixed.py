@@ -179,16 +179,230 @@ def _update_mixed_single(pose, mean_s, cov_s, w_s, mean_d, cov_d, w_d,
     return new_s[:3], new_d[:3], dlog_w, overflow
 
 
+def _birth_weights(z_label, M, cfg, dtype):
+    """Per-measurement birth weights for each map + the normalizer's birth
+    contribution (computeBirth :238-241, :296-299): labeled measurements
+    birth only into the matching map (one birth term); unlabeled birth into
+    both (two terms)."""
+    if cfg.labeled_measurements:
+        bw_s = jnp.where(z_label == STATIC_MEASUREMENT,
+                         cfg.birth_weight, 0.0).astype(dtype)
+        bw_d = jnp.where(z_label == DYNAMIC_MEASUREMENT,
+                         cfg.birth_weight, 0.0).astype(dtype)
+        birth_norm = cfg.birth_weight
+    else:
+        bw_s = jnp.full((M,), cfg.birth_weight, dtype=dtype)
+        bw_d = jnp.full((M,), cfg.birth_weight, dtype=dtype)
+        birth_norm = 2.0 * cfg.birth_weight
+    return bw_s, bw_d, birth_norm
+
+
+def _fast_select(pdw, dv, norm, w_a, act_a, w_birth, act_c, K, M, T, cap,
+                 min_fw):
+    """Two-stage candidate selection for one map (the static filter's fast
+    pipeline, filters/phd.py::_update_single_pre stage 1+2): heaviest-T
+    live detection lanes per measurement on the UNNORMALIZED grid, then one
+    global top-cap payload sort. Returns the deferred-gather index set."""
+    from ..ops.gm_merge import (select_live_topT, topcap_sort,
+                                topk_compact_indices)
+    if 0 < T < K:
+        vals_d, idx_d, n_live_d, n_kept_d = select_live_topT(
+            pdw, min_fw * norm, T)
+        flat_d = K + jnp.arange(M, dtype=jnp.int32)[:, None] * K + idx_d
+        w_sel = jnp.where(vals_d > 0, vals_d / norm[:, None], 0.0)
+        act_sel = vals_d > 0
+        n_extra = n_live_d - n_kept_d
+        red_w = jnp.concatenate([w_a, w_sel.reshape(M * T), w_birth], axis=0)
+        red_act = jnp.concatenate([act_a, act_sel.reshape(M * T), act_c],
+                                  axis=0)
+        red_flat = jnp.concatenate(
+            [jnp.arange(K, dtype=jnp.int32),
+             flat_d.reshape(M * T),
+             K + M * K + jnp.arange(M, dtype=jnp.int32)], axis=0)
+        idx, cand_w, sel_act, n_drop = topcap_sort(red_w, red_act, red_flat,
+                                                   cap)
+        return idx, cand_w, sel_act, n_drop + n_extra
+    w_det_full = pdw / norm[:, None]
+    act_b_full = dv & (w_det_full >= min_fw)
+    cand_w = jnp.concatenate([w_a, w_det_full.reshape(M * K), w_birth],
+                             axis=0)
+    cand_act = jnp.concatenate([act_a, act_b_full.reshape(M * K), act_c],
+                               axis=0)
+    idx, cand_w, sel_act, n_compact = topk_compact_indices(cand_w, cand_act,
+                                                           cap)
+    return idx, cand_w, sel_act, n_compact
+
+
+def _update_mixed_pre(pose, mean_s, cov_s, w_s, mean_d, cov_d, w_d,
+                      z, z_label, z_mask, cfg: SlamConfig):
+    """Fast-path pre half of the mixed update (single particle, vmapped).
+
+    Mirrors the static filter's deferred-gather pipeline
+    (filters/phd.py::_update_single_pre fast path) with the JOINT
+    per-measurement normalizer of phdUpdateKernelMixed
+    (phdfilter.cu:2480-2505): norm[m] sums detection terms over BOTH maps
+    plus clutter and the label-gated birth weight(s). Neither [M, K]
+    normalized grid nor any [N, D, D] candidate array is materialized —
+    the merges and row gathers run at batch level."""
+    Ks = mean_s.shape[0]
+    Kd = mean_d.shape[0]
+    M = z.shape[0]
+    dtype = mean_s.dtype
+    min_fw = cfg.min_feature_weight
+    cap = cfg.merge_candidate_cap
+    T = cfg.detection_topk
+
+    in_s, near_s, out_s = _classify(pose, mean_s, w_s, cfg)
+    in_d, near_d, out_d = _classify(pose, mean_d, w_d, cfg)
+
+    pre_s = ekf.ekf_preupdate(pose, mean_s, cov_s, cfg)
+    pre_d = ekf.ekf_preupdate(pose, mean_d, cov_d, cfg)
+
+    dv_s = z_mask[:, None] & in_s[None, :]
+    dv_d = z_mask[:, None] & in_d[None, :]
+    pdw_s = jnp.where(dv_s, ekf.ekf_detection_linear(pre_s, w_s, z), 0.0)
+    pdw_d = jnp.where(dv_d, ekf.ekf_detection_linear(pre_d, w_d, z), 0.0)
+    # materialize once: both grids feed the normalizer, top-T sweeps and
+    # cardinality sums (see the static path's barrier note)
+    pdw_s, pdw_d = jax.lax.optimization_barrier((pdw_s, pdw_d))
+
+    bw_s, bw_d, birth_norm = _birth_weights(z_label, M, cfg, dtype)
+
+    sum_s = jnp.sum(pdw_s, axis=1)
+    sum_d = jnp.sum(pdw_d, axis=1)
+    norm = sum_s + sum_d + cfg.clutter_density + birth_norm      # [M]
+    log_norm = jnp.log(norm)
+
+    w_nd_s = jnp.where(in_s, w_s * (1.0 - pre_s.pd), 0.0)
+    w_nd_d = jnp.where(in_d, w_d * (1.0 - pre_d.pd), 0.0)
+    wb_s = jnp.where(z_mask, bw_s / norm, 0.0)
+    wb_d = jnp.where(z_mask, bw_d / norm, 0.0)
+
+    n_valid_z = jnp.sum(z_mask.astype(dtype))
+    if cfg.particle_weighting == 0:
+        # cluster-process (:2448-2456, 2548-2556): predicted cardinality is
+        # pd-scaled persistent weights only (no birth terms)
+        card_pred = jnp.sum(jnp.where(in_s, pre_s.pd * w_s, 0.0)) \
+            + jnp.sum(jnp.where(in_d, pre_d.pd * w_d, 0.0))
+        dlog_w = jnp.sum(jnp.where(z_mask, log_norm, 0.0)) - card_pred
+    else:
+        # Vo empty-map (:2558-2582); detection sums fold the pdw row sums
+        cn_predict = jnp.sum(jnp.where(in_s, w_s, 0.0)) \
+            + jnp.sum(jnp.where(in_d, w_d, 0.0)) \
+            + n_valid_z * cfg.birth_weight
+        cn_update = jnp.sum(w_nd_s) + jnp.sum(w_nd_d) \
+            + jnp.sum(jnp.where(z_mask, (sum_s + sum_d) / norm, 0.0)) \
+            + jnp.sum(wb_s) + jnp.sum(wb_d)
+        dlog_w = n_valid_z * cfg.clutter_density + cn_update - cn_predict \
+            - cfg.clutter_rate
+
+    act_a_s = (in_s & (w_nd_s >= min_fw)) | near_s
+    w_a_s = jnp.where(in_s, w_nd_s, jnp.where(near_s, w_s, 0.0))
+    act_a_d = (in_d & (w_nd_d >= min_fw)) | near_d
+    w_a_d = jnp.where(in_d, w_nd_d, jnp.where(near_d, w_d, 0.0))
+    act_c_s = z_mask & (wb_s >= min_fw) & (bw_s > 0)
+    act_c_d = z_mask & (wb_d >= min_fw) & (bw_d > 0)
+
+    b_mean_s, b_cov_s = measurement.birth_mean_cov(pose, z, cfg)
+    b_mean_d, b_cov_d = measurement.birth_mean_cov_4d(pose, z, cfg)
+
+    def gather_for(pdw, dv, w_a, act_a, wb, act_c, mean, cov, pre, b_mean,
+                   b_cov, K):
+        idx, cand_w, sel_act, n_compact = _fast_select(
+            pdw, dv, norm, w_a, act_a, wb, act_c, K, M, T, cap, min_fw)
+        k_eff, m_eff, is_p, is_d = ekf.candidate_gather_indices(
+            idx, K, M, True)
+        t_k, t_m = ekf.candidate_tables_T(mean, cov, pre, z, b_mean, b_cov)
+        return dict(k_eff=k_eff, m_eff=m_eff, is_p=is_p, is_d=is_d,
+                    sel_act=sel_act, cand_w=cand_w, t_k=t_k, t_m=t_m), \
+            n_compact
+
+    g_s, nc_s = gather_for(pdw_s, dv_s, w_a_s, act_a_s, wb_s, act_c_s,
+                           mean_s, cov_s, pre_s, b_mean_s, b_cov_s, Ks)
+    g_d, nc_d = gather_for(pdw_d, dv_d, w_a_d, act_a_d, wb_d, act_c_d,
+                           mean_d, cov_d, pre_d, b_mean_d, b_cov_d, Kd)
+
+    return dict(g_s=g_s, g_d=g_d, dlog_w=dlog_w, out_s=out_s,
+                nc_s=nc_s, nc_d=nc_d)
+
+
+def _post_pre_out(dlog_w, out_m, n_compact):
+    """pre_out dict for filters.phd._update_single_post (fast-path form)."""
+    return dict(cand=None, gather=None, dlog_w=dlog_w, out_m=out_m,
+                n_compact=n_compact, variance=None, log_like=None,
+                mean_det=None, det_valid=None)
+
+
+def _batched_mixed_update(pose, gs, gd, z, z_label, z_mask, cfg: SlamConfig):
+    """All-particle mixed update with both merges, candidate gathers and
+    selection sorts hoisted OUT of the vmap (the static path's
+    _batched_update structure) — the 2D static and 4D dynamic maps each get
+    one batch-level Pallas merge (phdfilter.cu:2323-2635 is a first-class
+    kernel in the reference; this is its premium path here too)."""
+    from ..ops.gm_merge import merge_batch_dispatch_packed
+    from .phd import _finish_candidates_packed, _update_single_post
+
+    Ks = gs.mean.shape[-2]
+    Kd = gd.mean.shape[-2]
+
+    pre = jax.vmap(
+        lambda p, ms, cs, ws, md, cd, wd: _update_mixed_pre(
+            p, ms, cs, ws, md, cd, wd, z, z_label, z_mask, cfg)
+    )(pose, gs.mean, gs.cov, gs.weight, gd.mean, gd.cov, gd.weight)
+
+    # topcap_sort emits a weight-descending live prefix for both maps
+    packed_s = _finish_candidates_packed({"gather": pre["g_s"]}, 2,
+                                         batched=True)
+    mg_s = merge_batch_dispatch_packed(packed_s, 2, cfg, Ks,
+                                       sorted_prefix=True)
+    packed_d = _finish_candidates_packed({"gather": pre["g_d"]}, 4,
+                                         batched=True)
+    mg_d = merge_batch_dispatch_packed(packed_d, 4, cfg, Kd,
+                                       sorted_prefix=True)
+
+    post_s = jax.vmap(
+        lambda mg_t, dlw, om, nc, m, c, w: _update_single_post(
+            mg_t, _post_pre_out(dlw, om, nc), m, c, w, cfg)
+    )(mg_s, pre["dlog_w"], pre["out_s"], pre["nc_s"],
+      gs.mean, gs.cov, gs.weight)
+    # dynamic out-of-range features are killed (:3714-3719)
+    zeros_out = jnp.zeros(gd.weight.shape, bool)
+    post_d = jax.vmap(
+        lambda mg_t, nc, m, c, w, zo: _update_single_post(
+            mg_t, _post_pre_out(jnp.zeros((), gd.mean.dtype), zo, nc),
+            m, c, w, cfg)
+    )(mg_d, pre["nc_d"], gd.mean, gd.cov, gd.weight, zeros_out)
+
+    sm, sc, sw, dlog_w, ovf_s = post_s
+    dm, dc, dw, _, ovf_d = post_d
+    return (sm, sc, sw), (dm, dc, dw), dlog_w, ovf_s + ovf_d
+
+
 def mixed_update(state: FilterState, z, z_mask, cfg: SlamConfig,
                  z_label=None):
-    """Mixed-model measurement update over all particles."""
+    """Mixed-model measurement update over all particles.
+
+    Routes to the batch-hoisted fast pipeline (two-stage selection +
+    Pallas 2D/4D merges) when eligible; the reference-shaped per-particle
+    route remains for full-materialization configs (scheme 2, variance)
+    and as the equivalence oracle (tests/test_mixed_dynamic.py)."""
     if z_label is None:
         z_label = jnp.zeros(z.shape[:-1], jnp.int32)
     gs, gd = state.map_static, state.map_dynamic
-    upd = jax.vmap(
-        lambda p, ms, cs, ws, md, cd, wd: _update_mixed_single(
-            p, ms, cs, ws, md, cd, wd, z, z_label, z_mask, cfg)
-    )(state.pose, gs.mean, gs.cov, gs.weight, gd.mean, gd.cov, gd.weight)
+    Ks, Kd = gs.mean.shape[-2], gd.mean.shape[-2]
+    M = z.shape[0]
+    cap = cfg.merge_candidate_cap
+    use_fast = (cfg.particle_weighting in (0, 1) and not cfg.compute_variance
+                and 0 < cap < min(Ks + M * Ks + M, Kd + M * Kd + M)
+                and getattr(cfg, "mixed_fast_path", 1))
+    if use_fast:
+        upd = _batched_mixed_update(state.pose, gs, gd, z, z_label, z_mask,
+                                    cfg)
+    else:
+        upd = jax.vmap(
+            lambda p, ms, cs, ws, md, cd, wd: _update_mixed_single(
+                p, ms, cs, ws, md, cd, wd, z, z_label, z_mask, cfg)
+        )(state.pose, gs.mean, gs.cov, gs.weight, gd.mean, gd.cov, gd.weight)
     (sm, sc, sw), (dm, dc, dw), dlog_w, overflow = upd
 
     log_w = state.log_weight + dlog_w

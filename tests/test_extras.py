@@ -31,6 +31,64 @@ def test_eap_expected_map_merges_across_particles():
                                rtol=1e-5)
 
 
+def test_eap_tree_matches_flat_separated():
+    """The log2(P)-depth pairwise tree (the reference's device-side
+    reduction, phdfilter.cu:3828-3863) must agree with the flat one-pass
+    merge when clusters are well separated: same per-site total weight and
+    weighted means."""
+    from phdslam_tpu.filters.extras import eap_expected_map_flat
+
+    cfg = SlamConfig(min_separation=3.0, distance_metric=0)
+    P, K = 16, 8
+    rng = np.random.default_rng(2)
+    sites = np.array([[5.0, 5.0], [-20.0, 8.0], [12.0, -30.0]])
+    mean = np.zeros((P, K, 2), np.float32)
+    w = np.zeros((P, K), np.float32)
+    for s, site in enumerate(sites):
+        mean[:, s] = site + rng.normal(0, 0.05, (P, 2))
+        w[:, s] = rng.uniform(0.5, 1.0, P)
+    gm = GMState(mean=jnp.asarray(mean),
+                 cov=jnp.broadcast_to(
+                     jnp.eye(2, dtype=jnp.float32) * 0.2, (P, K, 2, 2)),
+                 weight=jnp.asarray(w))
+    log_weight = jnp.asarray(
+        rng.normal(0, 0.3, P).astype(np.float32))
+    log_weight = log_weight - jax.nn.logsumexp(log_weight)
+
+    mt, ct, wt = eap_expected_map(gm, log_weight, cfg)
+    mf, cf, wf = eap_expected_map_flat(gm, log_weight, cfg)
+    mt, wt, mf, wf = map(np.asarray, (mt, wt, mf, wf))
+    assert (wt > 0).sum() == len(sites)
+    assert (wf > 0).sum() == len(sites)
+    for site in sites:
+        it = np.argmin(np.linalg.norm(mt - site, axis=1))
+        jf = np.argmin(np.linalg.norm(mf - site, axis=1))
+        np.testing.assert_allclose(wt[it], wf[jf], rtol=1e-4)
+        np.testing.assert_allclose(mt[it], mf[jf], rtol=1e-4, atol=1e-4)
+
+
+def test_eap_tree_scales_shapewise():
+    """Tree EAP never flattens to [P*K] lanes: its largest merge is
+    [P/2, 2K] (the map_estimate=2 at-scale prerequisite)."""
+    cfg = SlamConfig(min_separation=2.0)
+    P, K = 64, 32
+    gm = GMState.empty(P, K, 2)
+    rng = np.random.default_rng(0)
+    gm = GMState(
+        mean=jnp.asarray(rng.normal(0, 20, (P, K, 2)).astype(np.float32)),
+        cov=gm.cov,
+        weight=jnp.asarray(
+            (rng.uniform(0, 1, (P, K)) > 0.5).astype(np.float32) * 0.8))
+    lw = jnp.full((P,), -np.log(P), jnp.float32)
+    jaxpr = jax.make_jaxpr(
+        lambda g, l: eap_expected_map(g, l, cfg))(gm, lw)
+    assert f"{P * K},2" not in str(jaxpr.jaxpr).replace(" ", ""), \
+        "flat [P*K, 2] merge lanes materialized"
+    m, c, w = eap_expected_map(gm, lw, cfg)
+    assert np.isfinite(np.asarray(m)).all()
+    assert float(jnp.sum(w)) > 0
+
+
 def test_mc_variance_is_finite_and_positive():
     key = jax.random.PRNGKey(0)
     N = 6

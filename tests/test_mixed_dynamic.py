@@ -126,6 +126,95 @@ def test_mixed_e2e_separates_static_and_moving():
     assert (w_d > 0.2).any()
 
 
+def _mixed_state_and_z(cfg, seed=7, n_static=5, n_dyn=3):
+    """Random multi-particle mixed state + one measurement set (few live
+    features per map so top-T selection keeps every live lane and the fast
+    pipeline is set-equivalent to the full-lane route)."""
+    import jax
+
+    from phdslam_tpu.types import init_state
+    K, M, P = cfg.max_features, cfg.max_measurements, cfg.n_particles
+    rng = np.random.default_rng(seed)
+    state = init_state(cfg)
+    pose = np.zeros((P, 6), np.float32)
+    pose[:, :2] = rng.normal(0, 0.3, (P, 2))
+    ms = np.zeros((P, K, 2), np.float32)
+    ws = np.zeros((P, K), np.float32)
+    ms[:, :n_static] = rng.uniform(2, 9, (1, n_static, 2)) \
+        + rng.normal(0, 0.05, (P, n_static, 2))
+    ws[:, :n_static] = rng.uniform(0.4, 1.0, (P, n_static))
+    cs = np.broadcast_to(np.eye(2, dtype=np.float32) * 0.3,
+                         (P, K, 2, 2)).copy()
+    md = np.zeros((P, K, 4), np.float32)
+    wd = np.zeros((P, K), np.float32)
+    md[:, :n_dyn, :2] = rng.uniform(-8, -2, (1, n_dyn, 2)) \
+        + rng.normal(0, 0.05, (P, n_dyn, 2))
+    md[:, :n_dyn, 2:] = rng.normal(0, 0.3, (P, n_dyn, 2))
+    wd[:, :n_dyn] = rng.uniform(0.4, 1.0, (P, n_dyn))
+    cd = np.broadcast_to(np.eye(4, dtype=np.float32) * 0.4,
+                         (P, K, 4, 4)).copy()
+    state = state.replace(
+        pose=jnp.asarray(pose),
+        map_static=state.map_static.replace(
+            mean=jnp.asarray(ms), cov=jnp.asarray(cs), weight=jnp.asarray(ws)),
+        map_dynamic=state.map_dynamic.replace(
+            mean=jnp.asarray(md), cov=jnp.asarray(cd), weight=jnp.asarray(wd)),
+        log_weight=jnp.asarray(rng.normal(0, 0.2, (P,)).astype(np.float32)))
+    targets = np.concatenate([ms[0, :2], md[0, :2, :2]])
+    z, mask = measure(targets, np.random.default_rng(seed + 1), cfg, M)
+    return state, z, mask
+
+
+def test_mixed_fast_path_matches_slow():
+    """The batch-hoisted fast pipeline (two-stage selection + batch merges)
+    must reproduce the per-particle reference-shaped route: same maps, same
+    particle-weight increments (phdfilter.cu:2323-2635 equivalence)."""
+    import dataclasses
+
+    from phdslam_tpu.filters.mixed import mixed_update
+
+    for weighting in (0, 1):
+        cfg = base_cfg(feature_model=2, particle_weighting=weighting,
+                       n_particles=5, max_features=16, max_measurements=6,
+                       merge_candidate_cap=64, detection_topk=8)
+        state, z, mask = _mixed_state_and_z(cfg)
+        fast, ovf_f = mixed_update(state, z, mask, cfg)
+        slow_cfg = dataclasses.replace(cfg, mixed_fast_path=0)
+        slow, ovf_s = mixed_update(state, z, mask, slow_cfg)
+
+        np.testing.assert_allclose(np.asarray(fast.log_weight),
+                                   np.asarray(slow.log_weight),
+                                   rtol=2e-5, atol=2e-5)
+        for name in ("map_static", "map_dynamic"):
+            gf, gs = getattr(fast, name), getattr(slow, name)
+            np.testing.assert_allclose(np.asarray(gf.weight),
+                                       np.asarray(gs.weight),
+                                       rtol=2e-4, atol=2e-5,
+                                       err_msg=f"{name} w={weighting}")
+            live = np.asarray(gs.weight) > 1e-6
+            np.testing.assert_allclose(
+                np.asarray(gf.mean)[live], np.asarray(gs.mean)[live],
+                rtol=2e-4, atol=2e-4, err_msg=f"{name} w={weighting}")
+            np.testing.assert_allclose(
+                np.asarray(gf.cov)[live], np.asarray(gs.cov)[live],
+                rtol=2e-3, atol=2e-4, err_msg=f"{name} w={weighting}")
+
+
+def test_mixed_fast_path_labeled():
+    """Label gating survives the fast pipeline: all-static labels leave the
+    dynamic map without births."""
+    cfg = base_cfg(feature_model=2, particle_weighting=1, n_particles=4,
+                   max_features=16, max_measurements=6,
+                   merge_candidate_cap=64, detection_topk=8,
+                   labeled_measurements=True)
+    state, z, mask = _mixed_state_and_z(cfg, n_dyn=0)
+    from phdslam_tpu.filters.mixed import mixed_update
+    labels = jnp.zeros((cfg.max_measurements,), jnp.int32)
+    new, _ = mixed_update(state, z, mask, cfg, z_label=labels)
+    assert float(jnp.max(new.map_dynamic.weight)) == 0.0
+    assert float(jnp.max(new.map_static.weight)) > 0.3
+
+
 def test_evaluate_mixed_end_to_end():
     """Full mixed-model SLAM accuracy (eval/parity.py::evaluate_mixed): CV
     vehicle + static landmarks + moving targets, unlabeled measurements — a

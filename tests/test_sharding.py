@@ -207,3 +207,29 @@ def test_sharded_variants_match_unsharded(mesh, variant_kw):
         np.testing.assert_allclose(np.asarray(out_sh.map_weight),
                                    np.asarray(out_ref.map_weight),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_eap_extraction_sharded_parity(mesh):
+    """map_estimate=2 (EAP tree merge) under the particle mesh: the
+    pairwise-tree levels reshape the sharded particle axis; the partitioner
+    must keep the result identical to the unsharded tree."""
+    cfg = small_cfg(map_estimate=2, particle_weighting=0)
+    z, zm = fake_inputs(cfg.max_measurements)
+    ctrl = jnp.zeros((2,), jnp.float32)
+
+    ref_step = make_step_fn(cfg, donate=False)
+    sh_step = make_sharded_step_fn(cfg, mesh, donate=False)
+    st_ref = init_state(cfg)
+    st_sh = init_sharded_state(cfg, mesh)
+
+    for n in range(4):
+        dp = jnp.asarray(n > 0)
+        st_ref, out_ref = ref_step(st_ref, z, zm, ctrl, jnp.float32(0.1), dp)
+        st_sh, out_sh = sh_step(st_sh, z, zm, ctrl, jnp.float32(0.1), dp)
+
+    np.testing.assert_allclose(np.asarray(out_sh.map_weight),
+                               np.asarray(out_ref.map_weight),
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_sh.map_mean),
+                               np.asarray(out_ref.map_mean),
+                               rtol=2e-3, atol=2e-4)
