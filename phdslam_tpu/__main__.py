@@ -37,8 +37,17 @@ def main(argv=None):
     ap.add_argument("--runner", default="chunked",
                     choices=["chunked", "scanned", "async"],
                     help="execution strategy for the filter loop")
+    ap.add_argument("--chunk", type=int, default=64,
+                    help="steps per on-device scan for the chunked runner")
     ap.add_argument("--checkpoint-every", type=int, default=0,
-                    help="write an orbax checkpoint every N steps")
+                    help="write an orbax checkpoint every N steps during "
+                         "the run (chunked runner; main.cpp:1262-1269)")
+    ap.add_argument("--resume", metavar="CHECKPOINT", default=None,
+                    help="resume a chunked run from a mid-run checkpoint "
+                         "written by --checkpoint-every")
+    ap.add_argument("--timing", action="store_true",
+                    help="reference-faithful timed loop (async runner): "
+                         "true per-step loopTime.log + predicttime.log")
     ap.add_argument("--debug", action="store_true",
                     help="enable NaN checks (the reference's NaN-weight "
                          "abort, main.cpp:1307, as a raised error)")
@@ -91,15 +100,34 @@ def main(argv=None):
         else:
             from .slam import SynthSLAMRunner
             runner = SynthSLAMRunner(cfg)
+            if args.timing and args.runner != "async":
+                print("--timing uses the per-step async runner")
+                args.runner = "async"
+            start_step = 0
+            if args.resume:
+                import numpy as np
+
+                from .runtime.checkpoint import load_checkpoint
+                state, extra = load_checkpoint(
+                    args.resume, runner.state,
+                    extra_like={"step": np.asarray(0)})
+                runner.state = state
+                start_step = int(np.asarray(extra["step"])) if extra else 0
+                print(f"resumed from {args.resume} at step {start_step}")
             if args.runner == "chunked":
-                res = runner.run_chunked(collect_maps=True,
-                                         collect_particles=True)
+                res = runner.run_chunked(
+                    chunk=args.chunk,
+                    collect_maps=True, collect_particles=True, timing=True,
+                    checkpoint_every=args.checkpoint_every,
+                    checkpoint_dir=(os.path.join(out_dir, "checkpoints")
+                                    if args.checkpoint_every else None),
+                    start_step=start_step)
                 runner.write_logs(out_dir, res)
             elif args.runner == "scanned":
                 res = runner.run_scanned()
             else:
-                res = runner.run(out_dir=out_dir)
-            if args.checkpoint_every:
+                res = runner.run(out_dir=out_dir, timing=args.timing)
+            if args.checkpoint_every and args.runner != "chunked":
                 from .runtime.checkpoint import save_checkpoint
                 save_checkpoint(os.path.join(out_dir, "checkpoint"),
                                 runner.state)

@@ -86,9 +86,16 @@ class SlamConfig:
     # -- PHD parameters
     birth_weight: float = 0.05
     birth_noise_factor: float = 1.5
-    gate_births: bool = True          # parsed but unused in live path (parity)
-    gate_measurements: bool = True    # parsed but unused in live path (parity)
-    gate_threshold: float = 10.0
+    # Gated births (CPHD path, phdfilter.cu.bak:794-900 + compatibleZ
+    # :1567, :1695): births only from measurements with no existing
+    # in-range feature within gate_threshold measurement-space Mahalanobis
+    # distance; the birth cardinality binomial uses the per-particle gated
+    # count. Default OFF = the reference's effective live behavior (its
+    # gatedBirths field is undefined in the final slamtypes.h, so the
+    # gate never engaged; the .bak kernel hardcodes threshold 5).
+    gate_births: bool = False
+    gate_measurements: bool = True    # parsed but unused in reference too
+    gate_threshold: float = 5.0       # .bak:1694 hardcodes 5
     feature_model: int = 0            # 0 static / 1 dynamic / 2 mixed
     min_expected_feature_weight: float = 0.33
     min_separation: float = 5.0

@@ -38,7 +38,8 @@ from ..config import SlamConfig
 from ..models import measurement
 from ..ops import ekf
 from ..ops.gm_merge import compact_candidates
-from ..ops.math import LOG0, logsumexp, masked_logsumexp, safe_log
+from ..ops.math import (LOG0, logsumexp, masked_logsumexp, safe_log,
+                        wrap_angle)
 from ..types import FilterState, GMState
 
 
@@ -219,12 +220,21 @@ def psi_terms(consts: CphdConstants, log_esf_full, log_esfd, log_cn_predict,
 # ----------------------------------------------------------------------------
 
 def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
-                        cfg: SlamConfig):
+                        cfg: SlamConfig, det=None):
     """Single-particle CPHD measurement update.
 
     Follows the .bak pipeline §3.5; returns
     (new_mean, new_cov, new_weight, log_cn_update, dlog_w, overflow).
-    """
+
+    ``det`` optionally carries this particle's fused detection+top-T
+    results (vals [M, T] unnormalized pdw, idx [M, T], row_sum [M],
+    count [M]) from ops.pallas_detect.detection_topT_batch called with
+    min_fw=0, cb=0 — hoisted to batch level by :func:`cphd_update`. The
+    per-measurement lambda comes straight from the kernel's row sums and
+    the [M, K] grid is never formed here; the CPHD weight scale
+    exp(ip1d - ip0) kr/kd is UNIFORM per measurement, so the kernel's
+    top-T-by-pdw order equals the w_det order and min_feature_weight
+    thresholding is applied post-hoc (exact)."""
     K, D = mean.shape
     M = z.shape[0]
     dtype = mean.dtype
@@ -238,9 +248,26 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
     use_fast = 0 < cap < (K + M * K)
 
     pre = ekf.ekf_preupdate(pose, mean, cov, cfg)
-    logw_part, _ = ekf.ekf_detection_logw(pre, weight, z, cfg)
     det_valid = z_mask[:, None] & in_m[None, :]
-    logw_part = jnp.where(det_valid, logw_part, LOG0)   # [M, K]
+    if det is None:
+        logw_part, _ = ekf.ekf_detection_logw(pre, weight, z, cfg)
+        logw_part = jnp.where(det_valid, logw_part, LOG0)   # [M, K]
+    else:
+        logw_part = None
+
+    # compatibleZ (.bak:1567, :1695): a measurement is "compatible" when
+    # any in-range feature sits within gate_threshold measurement-space
+    # Mahalanobis distance — gated births (cfg.gate_births) birth only
+    # from incompatible measurements
+    if cfg.gate_births:
+        ir_g = z[:, None, 0] - pre.r[None, :]
+        ib_g = wrap_angle(z[:, None, 1] - pre.bearing[None, :])
+        dist_g = (pre.si00[None, :] * ir_g * ir_g
+                  + 2.0 * pre.si01[None, :] * ir_g * ib_g
+                  + pre.si11[None, :] * ib_g * ib_g)
+        compat = jnp.any(det_valid & (dist_g < cfg.gate_threshold), axis=1)
+    else:
+        compat = jnp.zeros((M,), bool)
 
     # qdw = log(1-pd) + log w (per in-range feature, .bak:1184-1188)
     log_qdw = jnp.where(in_m, safe_log(1.0 - pre.pd) + safe_log(weight), LOG0)
@@ -249,8 +276,12 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
 
     # lambda_m = log sum_j w_partial[j, m] + log kappa_rate - log kappa_density
     # (.bak:1206-1221)
-    log_lambda = masked_logsumexp(logw_part, det_valid, axis=-1) \
-        + safe_log(cfg.clutter_rate) - safe_log(cfg.clutter_density)
+    if det is None:
+        log_lambda = masked_logsumexp(logw_part, det_valid, axis=-1) \
+            + safe_log(cfg.clutter_rate) - safe_log(cfg.clutter_density)
+    else:
+        log_lambda = safe_log(det[2]) \
+            + safe_log(cfg.clutter_rate) - safe_log(cfg.clutter_density)
     log_lambda = jnp.where(z_mask, log_lambda, LOG0)
 
     esf_full = log_esf(log_lambda, z_mask)              # [M+1]
@@ -273,11 +304,15 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
 
     # GM weight update (cphdUpdateKernel, .bak:1436-1479)
     # detections: w = exp(w_partial + psi1d(z) - ip0 + log kr - log kd)
-    w_det = jnp.where(
-        det_valid,
-        jnp.exp(logw_part + ip1d[:, None] - ip0
-                + safe_log(cfg.clutter_rate) - safe_log(cfg.clutter_density)),
-        0.0)
+    if det is None:
+        w_det = jnp.where(
+            det_valid,
+            jnp.exp(logw_part + ip1d[:, None] - ip0
+                    + safe_log(cfg.clutter_rate)
+                    - safe_log(cfg.clutter_density)),
+            0.0)
+    else:
+        w_det = None        # det route: only selected lanes are scaled
     # non-detections: w = exp(log w + ip1 - ip0 + log(1 - pd))
     # NB: the reference uses the configured pd here, not the per-feature
     # FOV-gated pd (.bak:1468-1471)
@@ -290,7 +325,6 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
     min_fw = cfg.min_feature_weight
     act_a = (in_m & (w_nd >= min_fw)) | near_m
     w_a = jnp.where(in_m, w_nd, jnp.where(near_m, weight, 0.0))
-    act_b = det_valid & (w_det >= min_fw)
 
     T = cfg.detection_topk
     if use_fast and 0 < T < K:
@@ -299,11 +333,25 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
         # and BENCH.md): heaviest-T live detection lanes per measurement,
         # then one global top-cap payload sort carrying full-lane ids.
         from ..ops.gm_merge import select_live_topT, topcap_sort
-        wd = jnp.where(det_valid, w_det, 0.0)
-        vals_d, idx_d, n_live_d, n_kept_d = select_live_topT(
-            wd, jnp.full((M,), min_fw, dtype=dtype), T)
+        if det is not None:
+            # fused-kernel route: the CPHD scale is uniform per measurement
+            # (top-T-by-pdw == top-T-by-w_det); threshold the scaled values
+            # here. The kernel's live counts are pdw > 0 lanes — the
+            # overflow diagnostic may overcount when sub-threshold lanes
+            # sit beyond T (conservative).
+            vals_p, idx_d, _, count_d = det
+            scale = jnp.exp(ip1d - ip0) \
+                * (cfg.clutter_rate / cfg.clutter_density)       # [M]
+            vals_d = vals_p * scale[:, None]
+            act_sel = (vals_d >= min_fw) & (vals_p > 0)
+            n_live_d = jnp.sum(count_d)
+            n_kept_d = jnp.sum(jnp.minimum(count_d, T))
+        else:
+            wd = jnp.where(det_valid, w_det, 0.0)
+            vals_d, idx_d, n_live_d, n_kept_d = select_live_topT(
+                wd, jnp.full((M,), min_fw, dtype=dtype), T)
+            act_sel = vals_d > 0
         flat_d = K + jnp.arange(M, dtype=jnp.int32)[:, None] * K + idx_d
-        act_sel = vals_d > 0
         red_w = jnp.concatenate([w_a, jnp.where(act_sel, vals_d, 0.0)
                                  .reshape(M * T)], axis=0)
         red_act = jnp.concatenate([act_a, act_sel.reshape(M * T)], axis=0)
@@ -314,13 +362,16 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
         n_compact = n_drop + (n_live_d - n_kept_d)
     elif use_fast:
         # scalar top-k lane selection (see ops.ekf; avoids materializing
-        # the [M*K] detection mean/cov grids)
+        # the [M*K] detection mean/cov grids). det is None on these
+        # branches (cphd_update only hoists detection when 0 < T < K).
         from ..ops.gm_merge import topk_compact_indices
+        act_b = det_valid & (w_det >= min_fw)
         cand_w = jnp.concatenate([w_a, w_det.reshape(M * K)], axis=0)
         cand_act = jnp.concatenate([act_a, act_b.reshape(M * K)], axis=0)
         idx, cand_w, cand_act, n_compact = topk_compact_indices(
             cand_w, cand_act, cap)
     else:
+        act_b = det_valid & (w_det >= min_fw)
         mean_det = ekf.ekf_detection_means(pre, mean, z)
         cand_w = jnp.concatenate([w_a, w_det.reshape(M * K)], axis=0)
         cand_act = jnp.concatenate([act_a, act_b.reshape(M * K)], axis=0)
@@ -339,7 +390,7 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
             cand_mean, cand_cov, cand_w, cand_act, cap)
         return dict(cand=(cand_mean, cand_cov, cand_w, cand_act),
                     gather=None, log_cn=log_cn_update, dlog_w=dlog_w,
-                    out_m=out_m, n_compact=n_compact)
+                    out_m=out_m, n_compact=n_compact, compat=compat)
     # fast paths: DEFER the row gather to batch level (Pallas one-hot
     # kernel + packed-plane combine, exactly as filters/phd.py — in-vmap
     # XLA one-hots materialize [P, cap, K] and [..., cap, D] temps pad
@@ -351,7 +402,8 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
     gather = dict(k_eff=k_eff, m_eff=m_eff, is_p=is_p, is_d=is_d,
                   sel_act=cand_act, cand_w=cand_w, t_k=t_k, t_m=t_m)
     return dict(cand=None, gather=gather, log_cn=log_cn_update,
-                dlog_w=dlog_w, out_m=out_m, n_compact=n_compact)
+                dlog_w=dlog_w, out_m=out_m, n_compact=n_compact,
+                compat=compat)
 
 
 def _cphd_update_single_post(mg, pre_out, mean, cov, weight,
@@ -384,11 +436,15 @@ def _cphd_update_single_post(mg, pre_out, mean, cov, weight,
         overflow
 
 
-def add_births(gm: GMState, pose, z, z_mask, cfg: SlamConfig):
+def add_births(gm: GMState, pose, z, z_mask, cfg: SlamConfig,
+               allowed=None):
     """Append birth Gaussians for each measurement (addBirths, .bak:794-900).
 
     Weight = birthWeight each (linear); lowest-weight components are dropped
-    if capacity is exceeded. Returns (GMState, overflow_count[P]).
+    if capacity is exceeded. ``allowed`` [P, M] bool optionally gates births
+    per particle (gated births, birthsKernel .bak:750: only measurements
+    with no compatible existing feature birth). Returns
+    (GMState, overflow_count[P]).
     """
     P, K, D = gm.mean.shape
     birth_fn = (measurement.birth_mean_cov if D == 2
@@ -398,6 +454,8 @@ def add_births(gm: GMState, pose, z, z_mask, cfg: SlamConfig):
     dtype = gm.mean.dtype
     b_w = jnp.where(z_mask, cfg.birth_weight, 0.0).astype(dtype)
     b_w = jnp.broadcast_to(b_w, (P, M))
+    if allowed is not None:
+        b_w = jnp.where(allowed, b_w, 0.0)
     eye = jnp.eye(D, dtype=dtype)
     b_mean = jnp.where(z_mask[None, :, None], b_mean, 0.0)
     b_cov = jnp.where(z_mask[None, :, None, None], b_cov, eye)
@@ -427,12 +485,39 @@ def cphd_update(state: FilterState, z, z_mask, consts, cfg: SlamConfig):
     from ..ops.gm_merge import merge_batch_dispatch, \
         merge_batch_dispatch_packed
     gm = state.map_static
-    pre = jax.vmap(
-        lambda p, m, c, w: _cphd_update_single(p, m, c, w, z, z_mask, consts,
-                                               cfg)
-    )(state.pose, gm.mean, gm.cov, gm.weight)
     K_, M_ = gm.mean.shape[-2], z.shape[0]
     D_ = gm.mean.shape[-1]
+
+    # hoist the fused detection+top-T kernel out of the vmap (exactly as
+    # filters/phd.py::_batched_update): min_fw=0, cb=0 — the kernel's row
+    # sums ARE the per-measurement lambda numerators, and thresholding
+    # waits for the Psi-derived scale inside _cphd_update_single
+    T_ = cfg.detection_topk
+    cap_ = cfg.merge_candidate_cap
+    det = None
+    if 0 < cap_ < (K_ + M_ * K_) and 0 < T_ < K_ and cfg.pallas_detect:
+        from ..ops.pallas_detect import detection_topT_batch
+        from ..ops.pallas_merge import pallas_available
+        from .phd import _detection_planes_single
+        interp = cfg.pallas_detect == 2
+        if interp or pallas_available():
+            planes = jax.vmap(lambda p, m, c, w: _detection_planes_single(
+                p, m, c, w, cfg))(state.pose, gm.mean, gm.cov, gm.weight)
+            z4 = jnp.stack([z[:, 0], z[:, 1], z_mask.astype(z.dtype),
+                            jnp.zeros_like(z[:, 0])], axis=1)
+            det = detection_topT_batch(planes, z4, T_, 0.0, 0.0,
+                                       interpret=interp)
+
+    if det is not None:
+        pre = jax.vmap(
+            lambda p, m, c, w, dv, di, dn, dc: _cphd_update_single(
+                p, m, c, w, z, z_mask, consts, cfg, det=(dv, di, dn, dc))
+        )(state.pose, gm.mean, gm.cov, gm.weight, *det)
+    else:
+        pre = jax.vmap(
+            lambda p, m, c, w: _cphd_update_single(p, m, c, w, z, z_mask,
+                                                   consts, cfg)
+        )(state.pose, gm.mean, gm.cov, gm.weight)
     sorted_prefix = 0 < cfg.merge_candidate_cap < K_ + M_ * K_
     if pre["gather"] is not None:
         # deferred Pallas gather + packed-plane merge (see filters/phd.py)
@@ -457,14 +542,29 @@ def cphd_update(state: FilterState, z, z_mask, consts, cfg: SlamConfig):
 
     # births from the CURRENT measurements feed the next update — equivalent
     # to the reference's addBirths(ZPrev) at the start of the next iteration
-    # (.bak:68, :794), since static features are not motion-predicted
-    new_gm, b_overflow = add_births(new_gm, state.pose, z, z_mask, cfg)
+    # (.bak:68, :794), since static features are not motion-predicted.
+    # gate_births: only measurements with no compatible feature birth
+    # (compatibleZ from this scan's pre-update, .bak:810-816, :750)
+    allowed = (z_mask[None, :] & ~pre["compat"]
+               if cfg.gate_births else None)
+    new_gm, b_overflow = add_births(new_gm, state.pose, z, z_mask, cfg,
+                                    allowed=allowed)
 
-    # cardinality prediction convolution for the next step (.bak:518-612)
-    n_births = jnp.sum(z_mask.astype(jnp.int32))
-    cn_birth = binomial_birth_cardinality(
-        n_births, cfg.birth_weight, cfg.max_cardinality, log_cn.dtype)
-    log_cn = jax.vmap(lambda c: cardinality_predict(c, cn_birth))(log_cn)
+    # cardinality prediction convolution for the next step (.bak:518-612).
+    # Gated: binomial n = the per-particle UNGATED count (the reference's
+    # kernel uses the total measurement count even when gating,
+    # .bak:782-791 n = blockDim.x — inconsistent with the births it
+    # actually adds; we use the gated count, consistent with them)
+    if cfg.gate_births:
+        n_births = jnp.sum(allowed.astype(jnp.int32), axis=1)      # [P]
+        cn_birth = jax.vmap(lambda n: binomial_birth_cardinality(
+            n, cfg.birth_weight, cfg.max_cardinality, log_cn.dtype))(n_births)
+        log_cn = jax.vmap(cardinality_predict)(log_cn, cn_birth)
+    else:
+        n_births = jnp.sum(z_mask.astype(jnp.int32))
+        cn_birth = binomial_birth_cardinality(
+            n_births, cfg.birth_weight, cfg.max_cardinality, log_cn.dtype)
+        log_cn = jax.vmap(lambda c: cardinality_predict(c, cn_birth))(log_cn)
 
     state = state.replace(map_static=new_gm, log_weight=log_w,
                           cardinality=log_cn)

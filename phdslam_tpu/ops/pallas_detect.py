@@ -85,7 +85,10 @@ def _detect_kernel(planes_ref, z_ref, out_ref, *, n_feat, n_meas, top_t,
     pdw = jnp.where(zvalid, pdw, 0.0)
 
     norm = jnp.sum(pdw, axis=-1, keepdims=True) + cb           # [B, M, 1]
-    live = pdw >= (min_fw * norm)
+    # the pdw > 0 conjunct is a no-op for the PHD path (min_fw * norm > 0)
+    # but gives the CPHD min_fw=0 mode a meaningful live count (pdw > 0
+    # lanes; thresholding happens post-hoc once the Psi scale is known)
+    live = (pdw >= (min_fw * norm)) & (pdw > 0)
     count = jnp.sum(live.astype(jnp.float32), axis=-1, keepdims=True)
     work = jnp.where(live, pdw, -1.0)
 

@@ -46,25 +46,35 @@ def save_checkpoint(path: str, state: Any, extra: Optional[dict] = None):
             pickle.dump(treedef, fh)
 
 
-def load_checkpoint(path: str, like: Any):
+def load_checkpoint(path: str, like: Any, extra_like: Optional[dict] = None):
     """Load a checkpoint saved by :func:`save_checkpoint`.
 
     ``like`` is a pytree with the same structure (e.g. a fresh init_state)
-    used to restore types/shapes.
+    used to restore types/shapes. When the checkpoint was saved with an
+    ``extra`` dict, pass a matching ``extra_like`` and receive
+    ``(state, extra)`` instead of just the state.
     """
     path = os.path.abspath(path)
     payload_like = {"state": like}
+    if extra_like is not None:
+        payload_like["extra"] = extra_like
     if _HAVE_ORBAX:
         ckptr = ocp.StandardCheckpointer()
         host_like = jax.tree.map(np.asarray, payload_like)
         restored = ckptr.restore(path, host_like)
-        return jax.tree.map(jax.numpy.asarray, restored["state"])
+        state = jax.tree.map(jax.numpy.asarray, restored["state"])
+        if extra_like is not None:
+            return state, restored.get("extra")
+        return state
     else:  # pragma: no cover
         with open(os.path.join(path, "treedef.pkl"), "rb") as fh:
             treedef = pickle.load(fh)
         data = np.load(os.path.join(path, "leaves.npz"))
         leaves = [data[k] for k in data.files]
-        return jax.tree.unflatten(treedef, leaves)["state"]
+        payload = jax.tree.unflatten(treedef, leaves)
+        if extra_like is not None:
+            return payload["state"], payload.get("extra")
+        return payload["state"]
 
 
 def profile_single_update(cfg, ckpt_path: str, z=None, z_mask=None):

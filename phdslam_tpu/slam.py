@@ -184,13 +184,25 @@ class SynthSLAMRunner:
         return out
 
     def run_chunked(self, chunk: int = 64, collect_maps: bool = True,
-                    collect_particles: bool = False):
+                    collect_particles: bool = False, timing: bool = False,
+                    checkpoint_every: int = 0, checkpoint_dir: str = None,
+                    start_step: int = 0):
         """Run the sequence as a host loop over fixed-size on-device scans.
 
         The sweet spot for a remote-tunneled TPU: one medium-sized XLA
         program (scan of ``chunk`` steps) compiled once, then
         ``ceil(T/chunk)`` dispatches with zero per-step host work. Outputs
         stay on device until one final fetch.
+
+        ``timing=True`` blocks after each chunk and records true per-chunk
+        wall times (res["chunk_ms"]; write_logs expands them into a
+        chunk-granular loopTime.log — the async runner gives per-STEP
+        times). ``checkpoint_every=N`` saves an orbax checkpoint of the
+        full filter state inside the loop whenever a chunk boundary
+        crosses a multiple of N steps (the reference serializes at step
+        100, main.cpp:1262-1269; ours is periodic for preemption
+        recovery). ``start_step`` skips already-completed steps when
+        resuming from such a checkpoint.
         """
         cfg = self.cfg
         z_all, mask_all = self.z_dev, self.mask_dev
@@ -233,27 +245,61 @@ class SynthSLAMRunner:
                                                   inp)
             return state, last_ctrl, ys
 
+        if start_step % chunk:
+            raise ValueError(
+                f"start_step ({start_step}) must be a multiple of the chunk "
+                f"size ({chunk}) — checkpoints are saved at chunk boundaries")
         t0 = time.perf_counter()
+        t_chunk = t0
         last_ctrl = jnp.zeros((2,), jnp.float32)
         chunks = []
-        for i in range(n_chunks):
+        chunk_ms = []
+        first_chunk = max(0, min(start_step, T)) // chunk
+        next_ckpt = None
+        if checkpoint_every > 0 and checkpoint_dir:
+            from .runtime.checkpoint import save_checkpoint
+            done = first_chunk * chunk
+            next_ckpt = (done // checkpoint_every + 1) * checkpoint_every
+        for i in range(first_chunk, n_chunks):
             sl = slice(i * chunk, (i + 1) * chunk)
             self.state, last_ctrl, ys = run_chunk(
                 self.state, last_ctrl, z_idx[sl], has_z[sl], c_idx[sl],
                 has_c[sl], dts[sl], do_pred[sl])
             chunks.append(ys)
+            if timing:
+                jax.block_until_ready(ys[0])
+                now = time.perf_counter()
+                chunk_ms.append((now - t_chunk) * 1000.0)
+                t_chunk = now
+            steps_done = min((i + 1) * chunk, T)
+            if next_ckpt is not None and steps_done >= next_ckpt:
+                save_checkpoint(
+                    os.path.join(checkpoint_dir, f"step{steps_done:05d}"),
+                    self.state,
+                    extra={"step": np.asarray(steps_done)})
+                next_ckpt = (steps_done // checkpoint_every + 1) \
+                    * checkpoint_every
         jax.block_until_ready(chunks[-1][0])
         wall = time.perf_counter() - t0
 
-        cat = lambda k: np.concatenate(
-            [np.asarray(c[k]) for c in chunks])[:T]
+        pad_steps = first_chunk * chunk         # resumed-over prefix
+
+        def cat(k):
+            parts = [np.asarray(c[k]) for c in chunks]
+            if pad_steps:                       # zero-fill skipped steps
+                parts.insert(0, np.zeros((pad_steps,) + parts[0].shape[1:],
+                                         parts[0].dtype))
+            return np.concatenate(parts)[:T]
         out = {
             "est_poses": cat(0),
             "n_eff": cat(1),
             "resampled": cat(2),
             "overflow": int(cat(3).max()),
             "wall_s": wall,
-            "steps_per_s": T / wall,
+            "steps_per_s": (T - pad_steps) / wall,
+            "chunk": chunk,
+            "chunk_ms": np.asarray(chunk_ms),
+            "start_step": pad_steps,
         }
         if collect_maps:
             out["map_means"] = cat(4)
@@ -298,12 +344,18 @@ class SynthSLAMRunner:
     def write_logs(self, out_dir: str, res: dict, log_every: int = 1):
         """Write state_estimate logs + loopTime.log from a run_chunked result
         collected with ``collect_maps=True, collect_particles=True``
-        (main.cpp:848-954, :1300-1305)."""
+        (main.cpp:848-954, :1300-1305).
+
+        loopTime.log carries TRUE per-step wall times when the run recorded
+        them: per-step (async runner with timing) or chunk-granular (each
+        chunk's measured wall time divided over its steps). Only a run with
+        no timing record falls back to the run average.
+        """
         cfg = self.cfg
         os.makedirs(out_dir, exist_ok=True)
         T = len(res["est_poses"])
         cns = res.get("cardinalities")
-        for n in range(0, T, log_every):
+        for n in range(res.get("start_step", 0), T, log_every):
             gm = (res["map_weights"][n], res["map_means"][n],
                   res["map_covs"][n])
             io.write_state_log(
@@ -314,13 +366,20 @@ class SynthSLAMRunner:
                 res["resample_idx"][n],
                 cns[n] if cns is not None else None,
                 cfg.max_cardinality, cfg.filter_type)
+        step_ms = res.get("step_ms")
+        if step_ms is None and len(res.get("chunk_ms", ())):
+            chunk = res["chunk"]
+            per = np.repeat(np.asarray(res["chunk_ms"]) / chunk, chunk)
+            skip = res.get("start_step", 0)
+            step_ms = np.concatenate([np.zeros(skip), per])[:T]
+        if step_ms is None:
+            step_ms = np.full((T,), res["wall_s"] * 1000.0 / max(1, T))
         with open(os.path.join(out_dir, "loopTime.log"), "w") as fh:
-            per_step = res["wall_s"] * 1000.0 / max(1, T)
-            fh.write("\n".join("%g" % per_step for _ in range(T)) + "\n")
+            fh.write("\n".join("%g" % t for t in step_ms) + "\n")
 
     def run(self, out_dir: Optional[str] = None, log_every: int = 1,
             verbose: bool = False, sync_every: int = 0,
-            collect_state_logs: bool = False):
+            collect_state_logs: bool = False, timing: bool = False):
         """Run the full sequence with asynchronous dispatch.
 
         The per-step jitted function is dispatched without host
@@ -330,6 +389,13 @@ class SynthSLAMRunner:
         no scan-sized XLA program to compile. ``sync_every > 0`` inserts
         periodic syncs to record wall-clock checkpoints (loopTime.log
         equivalent at block granularity).
+
+        ``timing=True`` makes the loop reference-faithful instead of
+        asynchronous: every step blocks and records its TRUE wall time
+        (res["step_ms"] -> per-step loopTime.log, main.cpp:1300-1305), and
+        a separately-dispatched prediction phase is timed per step into
+        res["predict_ms"] (-> predicttime.log, the CUDA-event prediction
+        timing of phdfilter.cu:1244-1251).
         """
         cfg = self.cfg
         if out_dir:
@@ -337,6 +403,13 @@ class SynthSLAMRunner:
         outs = []
         state_snaps = []
         block_times = []
+        step_times = []
+        predict_times = []
+        pred_fn = None
+        if timing:
+            from .filters.phd import predict as _predict
+            from .runtime.profiling import timed_call
+            pred_fn = jax.jit(functools.partial(_predict, cfg=cfg))
         last_control = jnp.zeros((2,), jnp.float32)
         zeros_z = jnp.zeros((self.m_max, 2), jnp.float32)
         zeros_mask = jnp.zeros((self.m_max,), bool)
@@ -351,9 +424,24 @@ class SynthSLAMRunner:
                 zm = self.mask_dev[plan.z_idx]
             else:
                 z, zm = zeros_z, zeros_mask
+            if timing:
+                t_step = time.perf_counter()
+                if plan.do_predict:
+                    # timing-only extra dispatch: measures the prediction
+                    # phase in isolation (the step re-runs it fused)
+                    key = jax.random.fold_in(self.state.rng, self.state.step)
+                    _, p_ms = timed_call(pred_fn, self.state, last_control,
+                                         jnp.float32(plan.dt),
+                                         key=jax.random.split(key, 3)[0])
+                else:
+                    p_ms = 0.0
+                predict_times.append(p_ms)
             self.state, out = self.step_fn(
                 self.state, z, zm, last_control,
                 jnp.float32(plan.dt), plan.do_predict)
+            if timing:
+                jax.block_until_ready(out.n_eff)
+                step_times.append((time.perf_counter() - t_step) * 1000.0)
             outs.append(out)
             if collect_state_logs or out_dir:
                 # out.* are fresh jit outputs — safe to hold across the next
@@ -393,8 +481,16 @@ class SynthSLAMRunner:
                     np.asarray(outs[n].cardinality),
                     cfg.max_cardinality, cfg.filter_type)
             with open(os.path.join(out_dir, "loopTime.log"), "w") as fh:
-                per_step = wall * 1000.0 / max(1, len(outs))
-                fh.write("\n".join("%g" % per_step for _ in outs) + "\n")
+                if step_times:                  # true per-step wall times
+                    fh.write("\n".join("%g" % t for t in step_times) + "\n")
+                else:
+                    per_step = wall * 1000.0 / max(1, len(outs))
+                    fh.write("\n".join("%g" % per_step for _ in outs) + "\n")
+            if predict_times:                   # phdfilter.cu:1244-1251
+                with open(os.path.join(out_dir, "predicttime.log"),
+                          "w") as fh:
+                    fh.write("\n".join("%g" % t for t in predict_times)
+                             + "\n")
 
         if np.isnan(n_effs).any():
             first = int(np.argmax(np.isnan(n_effs)))
@@ -406,6 +502,9 @@ class SynthSLAMRunner:
             "wall_s": wall,
             "steps_per_s": len(outs) / wall,
             "loop_ms": np.asarray(block_times),
+            "step_ms": np.asarray(step_times) if step_times else None,
+            "predict_ms": (np.asarray(predict_times) if predict_times
+                           else None),
             "overflow": overflow,
             "truncated_measurements": self.n_truncated,
             "outs": outs,

@@ -186,3 +186,115 @@ def test_cphd_e2e_smoke():
     # the map should contain >= 3 significant components
     w = np.asarray(state.map_static.weight)
     assert (w[0] > 0.4).sum() >= 3
+
+
+def test_cphd_det_kernel_route_matches_grid_route():
+    """The fused detection kernel route (min_fw=0, cb=0; lambda from row
+    sums, post-hoc thresholding) must reproduce the [M, K]-grid route:
+    same maps, cardinalities and particle weights (the CPHD fast-path
+    equivalence, phdfilter.cu.bak:1058-1479)."""
+    import dataclasses
+
+    from phdslam_tpu.filters.cphd import cphd_constants, cphd_update
+    from phdslam_tpu.types import init_state
+
+    cfg = SlamConfig(
+        n_particles=6, max_features=16, max_measurements=6,
+        motion_type=0, feature_model=0, filter_type=1, max_cardinality=24,
+        max_range=20.0, std_range=0.25, std_bearing=0.02, clutter_rate=2.0,
+        pd=0.95, birth_weight=0.05, min_separation=2.0,
+        merge_candidate_cap=48, detection_topk=8,
+        resample_threshold=0.3, seed=1, pallas_detect=2, pallas_merge=2)
+    rng = np.random.default_rng(3)
+    state = init_state(cfg)
+    K, P = cfg.max_features, cfg.n_particles
+    mean = np.zeros((P, K, 2), np.float32)
+    w = np.zeros((P, K), np.float32)
+    mean[:, :4] = np.array([[5, 1], [8, -2], [3, 4], [6, 6]], np.float32) \
+        + rng.normal(0, 0.05, (P, 4, 2))
+    w[:, :4] = rng.uniform(0.4, 1.0, (P, 4))
+    state = state.replace(
+        pose=jnp.asarray(rng.normal(0, 0.2, (P, 6)).astype(np.float32)),
+        map_static=state.map_static.replace(
+            mean=jnp.asarray(mean), weight=jnp.asarray(w)),
+        log_weight=jnp.asarray(
+            rng.normal(0, 0.2, (P,)).astype(np.float32)))
+
+    z = np.zeros((6, 2), np.float32)
+    z[:5] = [[5.1, 0.19], [8.2, -0.24], [5.0, 0.92], [8.5, 0.78],
+             [4.0, -1.0]]
+    zm = np.zeros((6,), bool)
+    zm[:5] = True
+    z, zm = jnp.asarray(z), jnp.asarray(zm)
+    consts = cphd_constants(cfg)
+
+    st_k, ovf_k = cphd_update(state, z, zm, consts, cfg)
+    cfg_g = dataclasses.replace(cfg, pallas_detect=0)
+    st_g, ovf_g = cphd_update(state, z, zm, consts, cfg_g)
+
+    np.testing.assert_allclose(np.asarray(st_k.log_weight),
+                               np.asarray(st_g.log_weight),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_k.cardinality),
+                               np.asarray(st_g.cardinality),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(st_k.map_static.weight),
+                               np.asarray(st_g.map_static.weight),
+                               rtol=2e-4, atol=2e-5)
+    live = np.asarray(st_g.map_static.weight) > 1e-6
+    np.testing.assert_allclose(
+        np.asarray(st_k.map_static.mean)[live],
+        np.asarray(st_g.map_static.mean)[live], rtol=2e-4, atol=2e-4)
+
+
+def test_gated_births_suppress_compatible_measurements():
+    """gate_births=True (birthsKernel .bak:750 + compatibleZ :1695): a
+    measurement within gate_threshold of an existing in-range feature does
+    NOT birth; an incompatible one does. The birth-cardinality binomial
+    uses the gated count."""
+    import dataclasses
+
+    from phdslam_tpu.filters.cphd import cphd_constants, cphd_update
+    from phdslam_tpu.types import init_state
+
+    cfg = SlamConfig(
+        n_particles=2, max_features=16, max_measurements=4,
+        motion_type=0, feature_model=0, filter_type=1, max_cardinality=16,
+        max_range=20.0, std_range=0.25, std_bearing=0.02, clutter_rate=2.0,
+        pd=0.95, birth_weight=0.05, min_separation=2.0,
+        merge_candidate_cap=32, detection_topk=4,
+        resample_threshold=0.3, seed=1, gate_births=True)
+    state = init_state(cfg)
+    K, P = cfg.max_features, cfg.n_particles
+    mean = np.zeros((P, K, 2), np.float32)
+    w = np.zeros((P, K), np.float32)
+    mean[:, 0] = [5.0, 0.0]                 # one live feature straight ahead
+    w[:, 0] = 0.9
+    state = state.replace(map_static=state.map_static.replace(
+        mean=jnp.asarray(mean), weight=jnp.asarray(w)))
+
+    z = np.zeros((4, 2), np.float32)
+    z[0] = [5.0, 0.0]                       # right on the feature: gated out
+    z[1] = [12.0, 1.2]                      # far away: births
+    zm = np.zeros((4,), bool)
+    zm[:2] = True
+    z, zm = jnp.asarray(z), jnp.asarray(zm)
+    consts = cphd_constants(cfg)
+
+    st_g, _ = cphd_update(state, z, zm, consts, cfg)
+    st_u, _ = cphd_update(state, z, zm, consts,
+                          dataclasses.replace(cfg, gate_births=False))
+
+    n_live_g = int((np.asarray(st_g.map_static.weight[0]) > 0).sum())
+    n_live_u = int((np.asarray(st_u.map_static.weight[0]) > 0).sum())
+    assert n_live_u == n_live_g + 1, (n_live_g, n_live_u)
+    # the far measurement's birth is present in both
+    mg = np.asarray(st_g.map_static.mean[0])
+    wg = np.asarray(st_g.map_static.weight[0])
+    far = np.array([12.0 * np.cos(1.2), 12.0 * np.sin(1.2)])
+    d = np.linalg.norm(mg[wg > 0] - far, axis=1)
+    assert d.min() < 0.5, (mg[wg > 0], far)
+    # gated binomial: mass at birth-count 1 vs 2 — the gated cardinality
+    # must differ from the ungated one
+    assert not np.allclose(np.asarray(st_g.cardinality),
+                           np.asarray(st_u.cardinality), atol=1e-6)

@@ -248,3 +248,77 @@ def test_cv_motion_mc_batch(tmp_path):
     assert np.isfinite(s["mean_pose_err"])
     assert s["mean_pose_err"] < 4.0, s
     assert np.isfinite(res.n_eff).all()
+
+
+def test_cli_periodic_checkpoint_and_resume(batch_root, tmp_path):
+    """--checkpoint-every saves INSIDE the chunked loop (main.cpp:1262-1269
+    role, periodic); --resume continues from the saved state and the final
+    estimates match an uninterrupted run (deterministic per-(step, particle)
+    keys make the resumed trajectory bit-identical)."""
+    from phdslam_tpu.__main__ import main
+    cfg_path = str(tmp_path / "t.cfg")
+    with open(cfg_path, "w") as fh:
+        fh.write("motion_type = 1\nn_particles = 8\nmax_features = 16\n"
+                 "max_measurements = 16\nl = 2.83\nh = 0.76\na = 3.78\n"
+                 "b = 0.5\nstd_encoder = 2\nstd_alpha = 0.0873\n"
+                 "max_range = 10\nstd_range = 1\nstd_bearing = 0.0349\n"
+                 "clutter_rate = 20\npd = 0.95\nfilter_type = 0\n"
+                 f"data_directory = {batch_root}/run000\n")
+
+    full_dir = str(tmp_path / "full")
+    rc = main([cfg_path, "synth", "--out-dir", full_dir, "--steps", "16",
+               "--runner", "chunked", "--chunk", "4"])
+    assert rc == 0
+
+    ck_dir = str(tmp_path / "ck")
+    rc = main([cfg_path, "synth", "--out-dir", ck_dir, "--steps", "16",
+               "--runner", "chunked", "--chunk", "4",
+               "--checkpoint-every", "8"])
+    assert rc == 0
+    ckpts = sorted(os.listdir(os.path.join(ck_dir, "checkpoints")))
+    assert "step00008" in ckpts, ckpts     # saved MID-run, not only at end
+
+    res_dir = str(tmp_path / "resumed")
+    rc = main([cfg_path, "synth", "--out-dir", res_dir, "--steps", "16",
+               "--runner", "chunked", "--chunk", "4", "--resume",
+               os.path.join(ck_dir, "checkpoints", "step00008")])
+    assert rc == 0
+
+    # the resumed run's post-resume estimates equal the uninterrupted run's
+    last_full = sorted(f for f in os.listdir(full_dir)
+                       if f.startswith("state_estimate"))[-1]
+    with open(os.path.join(full_dir, last_full)) as fh:
+        full_pose = fh.readline().split()
+    with open(os.path.join(res_dir, last_full)) as fh:
+        res_pose = fh.readline().split()
+    np.testing.assert_allclose([float(x) for x in res_pose],
+                               [float(x) for x in full_pose], rtol=1e-6)
+
+    # loopTime.log carries true per-step (chunk-granular) wall times, not
+    # one repeated run average
+    times = np.loadtxt(os.path.join(ck_dir, "loopTime.log"))
+    assert len(times) == 16
+    assert len(np.unique(times)) > 1, "loopTime.log is a repeated average"
+
+
+def test_cli_timing_logs(batch_root, tmp_path):
+    """--timing: per-step loopTime.log + predicttime.log (the reference's
+    CUDA-event prediction timing, phdfilter.cu:1244-1251)."""
+    from phdslam_tpu.__main__ import main
+    cfg_path = str(tmp_path / "t.cfg")
+    with open(cfg_path, "w") as fh:
+        fh.write("motion_type = 1\nn_particles = 8\nmax_features = 16\n"
+                 "max_measurements = 16\nl = 2.83\nh = 0.76\na = 3.78\n"
+                 "b = 0.5\nstd_encoder = 2\nstd_alpha = 0.0873\n"
+                 "max_range = 10\nstd_range = 1\nstd_bearing = 0.0349\n"
+                 "clutter_rate = 20\npd = 0.95\nfilter_type = 0\n"
+                 f"data_directory = {batch_root}/run000\n")
+    out_dir = str(tmp_path / "timed")
+    rc = main([cfg_path, "synth", "--out-dir", out_dir, "--steps", "8",
+               "--timing"])
+    assert rc == 0
+    lt = np.loadtxt(os.path.join(out_dir, "loopTime.log"))
+    pt = np.loadtxt(os.path.join(out_dir, "predicttime.log"))
+    assert len(lt) == 8 and len(pt) == 8
+    assert len(np.unique(lt)) > 1          # true per-step times
+    assert (pt[1:] > 0).all()              # predict timed on predict steps
