@@ -700,15 +700,25 @@ def phd_step(state: FilterState, z, z_mask, control, dt, do_predict,
     state = jax.tree.map(
         lambda a, b: jnp.where(do_predict, a, b), predicted, state)
 
+    # lax.cond (not jnp.where over both branches): the reference skips the
+    # update call entirely on measurement-less steps (main.cpp:1270-1271);
+    # a where-select would execute the full update every step — wasteful
+    # on control-dense / measurement-sparse schedules
     has_z = jnp.any(z_mask)
-    if cfg.filter_type == 1:
-        from .cphd import cphd_constants, cphd_update
-        consts = cphd_constants(cfg, state.pose.dtype)
-        updated, overflow = cphd_update(state, z, z_mask, consts, cfg)
-    else:
-        updated, overflow = update(state, z, z_mask, cfg, k_var)
-    state = jax.tree.map(lambda a, b: jnp.where(has_z, a, b), updated, state)
-    overflow = jnp.where(has_z, overflow, 0)
+
+    def _do_update(st):
+        if cfg.filter_type == 1:
+            from .cphd import cphd_constants, cphd_update
+            consts = cphd_constants(cfg, st.pose.dtype)
+            upd, ovf = cphd_update(st, z, z_mask, consts, cfg)
+        else:
+            upd, ovf = update(st, z, z_mask, cfg, k_var)
+        return upd, jnp.asarray(ovf, jnp.int32)
+
+    def _skip_update(st):
+        return st, jnp.zeros((), jnp.int32)
+
+    state, overflow = jax.lax.cond(has_z, _do_update, _skip_update, state)
 
     expected_pose, (mm, mc, mw) = extract(state, cfg)
     if k_shot > 1:

@@ -1,0 +1,233 @@
+"""On-TPU kernel CI: Mosaic lowering + Pallas-vs-XLA numerical equivalence
+on REAL hardware.
+
+The CPU test suite exercises every Pallas kernel in interpret mode only —
+a Mosaic miscompile would ship with green tests (round-1 verdict weak #7).
+This harness runs each shipped kernel on the device against its XLA
+fallback at the shipped shapes and writes a single JSON artifact:
+
+    python tools/tpu_check.py            # writes TPU_CHECK.json
+
+Checks:
+  * lowering of every kernel x shipped shape (tools/lower_check.py)
+  * 2D/3D/4D greedy merges (array + packed + fused-tables forms,
+    Mahalanobis + Hellinger, sorted and unsorted) vs ops.gm_merge
+  * fused detection+top-T vs the XLA grid + select_live_topT
+  * one-hot gather kernels vs their XLA one-hot matmul fallbacks
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+RESULTS = {"backend": None, "lowering_ok": None, "kernels": {}, "ok": False}
+
+
+def _random_mixture(rng, P, N, D, n_live, sorted_w):
+    """Clustered random GM batch; live lanes in a (optionally weight-
+    sorted) prefix."""
+    sites = rng.uniform(-40, 40, (max(8, n_live // 4), D))
+    site_of = rng.integers(0, len(sites), (P, N))
+    mean = sites[site_of] + rng.normal(0, 0.5, (P, N, D))
+    a = rng.normal(0, 0.3, (P, N, D, D))
+    cov = np.einsum("pnij,pnkj->pnik", a, a) + np.eye(D) * 0.3
+    w = np.where(np.arange(N)[None, :] < n_live,
+                 rng.uniform(0.05, 1.0, (P, N)), 0.0)
+    if sorted_w:
+        w = -np.sort(-w, axis=1)
+    act = w > 0
+    mean = np.where(act[..., None], mean, 0.0)
+    cov = np.where(act[..., None, None], cov, np.eye(D))
+    return (jnp.asarray(mean, jnp.float32), jnp.asarray(cov, jnp.float32),
+            jnp.asarray(w, jnp.float32), jnp.asarray(act))
+
+
+def _compare_merge(tag, got, ref, atol=5e-4):
+    """Cluster-set comparison: weight-sorted weights/means agree."""
+    gm_, gc_, gw_, gn_, _ = [np.asarray(x) for x in got]
+    rm_, rc_, rw_, rn_, _ = [np.asarray(x) for x in ref]
+    ok = bool((gn_ == rn_).all())
+    max_dw = max_dm = 0.0
+    for p in range(gw_.shape[0]):
+        gi, ri = np.argsort(-gw_[p]), np.argsort(-rw_[p])
+        max_dw = max(max_dw, float(np.abs(gw_[p][gi] - rw_[p][ri]).max()))
+        live = rw_[p][ri] > 0
+        if live.any():
+            max_dm = max(max_dm, float(
+                np.abs(gm_[p][gi][live] - rm_[p][ri][live]).max()))
+    ok = ok and max_dw < atol and max_dm < 5e-3
+    RESULTS["kernels"][tag] = {"ok": ok, "max_dw": max_dw, "max_dm": max_dm}
+    print(f"{'  ok' if ok else 'FAIL'}  {tag}  dw={max_dw:.2e} "
+          f"dm={max_dm:.2e}", flush=True)
+    return ok
+
+
+def check_merges(rng):
+    from phdslam_tpu.ops.gm_merge import gm_merge_batch
+    from phdslam_tpu.ops.pallas_merge import (
+        gm_merge_pallas_batch, gm_merge_pallas_batch_3d,
+        gm_merge_pallas_batch_4d, gm_merge_pallas_batch_packed,
+        gm_merge_pallas_batch_packed_4d)
+    ok = True
+    cases = [  # (tag, D, N, out, n_live, sorted_w, metric)
+        ("merge2d_ackerman", 2, 512, 128, 220, True, 0),
+        ("merge2d_unsorted", 2, 512, 128, 220, False, 0),
+        ("merge2d_hellinger", 2, 512, 128, 150, True, 1),
+        ("merge2d_dense", 2, 1536, 256, 700, True, 0),
+        ("merge3d", 3, 256, 64, 120, True, 0),
+        ("merge4d", 4, 256, 64, 120, True, 0),
+    ]
+    for tag, D, N, out, n_live, sw, metric in cases:
+        mean, cov, w, act = _random_mixture(rng, 8, N, D, n_live, sw)
+        sep = 2.0
+        if D == 2:
+            got = gm_merge_pallas_batch(mean, cov, w, act, sep, out,
+                                        metric=metric, sorted_w=sw)
+        elif D == 3:
+            got = gm_merge_pallas_batch_3d(mean, cov, w, act, sep, out,
+                                           sorted_w=sw)
+        else:
+            got = gm_merge_pallas_batch_4d(mean, cov, w, act, sep, out,
+                                           sorted_w=sw)
+        ref = gm_merge_batch(mean, cov, w, act, sep, out, metric)
+        ok &= _compare_merge(tag, got, ref)
+
+    # packed forms vs array forms (2D + 4D)
+    for tag, D, fn in (("merge2d_packed", 2, gm_merge_pallas_batch_packed),
+                       ("merge4d_packed", 4,
+                        gm_merge_pallas_batch_packed_4d)):
+        mean, cov, w, act = _random_mixture(rng, 8, 512, D, 200, True)
+        planes = [w, act.astype(jnp.float32)]
+        planes += [mean[..., i] for i in range(D)]
+        planes += [cov[..., a, b] for a in range(D) for b in range(a, D)]
+        packed = jnp.stack(planes, axis=1)
+        got = fn(packed, 2.0, 128, sorted_w=True)
+        ref = gm_merge_batch(mean, cov, w, act, 2.0, 128, 0)
+        ok &= _compare_merge(tag, got, ref)
+    return ok
+
+
+def check_detect(rng):
+    import functools
+
+    from phdslam_tpu.config import SlamConfig
+    from phdslam_tpu.filters.phd import _detection_planes_single
+    from phdslam_tpu.ops import ekf
+    from phdslam_tpu.ops.gm_merge import select_live_topT
+    from phdslam_tpu.ops.pallas_detect import detection_topT_batch
+
+    cfg = SlamConfig(max_range=15.0, std_range=0.3, std_bearing=0.02,
+                     clutter_rate=5.0, pd=0.95, birth_weight=0.05)
+    P, K, M, T = 16, 128, 32, 16
+    pose = jnp.asarray(rng.normal(0, 0.5, (P, 6)).astype(np.float32))
+    mean, cov, w, act = _random_mixture(rng, P, K, 2, 60, False)
+    mean = mean * 0.2                       # keep features in range
+    z = np.zeros((M, 2), np.float32)
+    z[:, 0] = rng.uniform(1, 14, M)
+    z[:, 1] = rng.uniform(-1.5, 1.5, M)
+    zm = np.arange(M) < M - 4
+    z4 = jnp.asarray(np.stack([z[:, 0], z[:, 1], zm.astype(np.float32),
+                               np.zeros(M, np.float32)], axis=1))
+    z = jnp.asarray(z)
+    zmj = jnp.asarray(zm)
+
+    planes = jax.vmap(lambda p, m, c, ww: _detection_planes_single(
+        p, m, c, ww, cfg))(pose, mean, cov, w)
+    cb = float(cfg.clutter_density + cfg.birth_weight)
+    min_fw = 1e-5
+    vals, idx, norm, count = jax.jit(functools.partial(
+        detection_topT_batch, top_t=T, min_fw=min_fw, cb=cb))(planes, z4)
+
+    # XLA reference: pdw grid + row sums + payload-sort top-T
+    def one(p, m, c, ww):
+        from phdslam_tpu.models.measurement import classify_in_range
+        cls = classify_in_range(p, m, ww, cfg)
+        in_m = cls == 1
+        pre = ekf.ekf_preupdate(p, m, c, cfg)
+        pdw = ekf.ekf_detection_linear(pre, ww, z)
+        pdw = jnp.where(zmj[:, None] & in_m[None, :], pdw, 0.0)
+        n = jnp.sum(pdw, axis=1) + cb
+        v, i, _, _ = select_live_topT(pdw, min_fw * n, T)
+        return v, i, n
+
+    rv, ri, rn = jax.jit(jax.vmap(one))(pose, mean, cov, w)
+    dv = float(jnp.max(jnp.abs(vals - rv)))
+    dn = float(jnp.max(jnp.abs(norm - rn)))
+    # indices may differ on near-equal vals; require val agreement instead
+    ok = dv < 1e-5 and dn < 1e-4
+    RESULTS["kernels"]["detect_topT"] = {"ok": ok, "max_dv": dv,
+                                         "max_dn": dn}
+    print(f"{'  ok' if ok else 'FAIL'}  detect_topT  dv={dv:.2e} "
+          f"dn={dn:.2e}", flush=True)
+    return ok
+
+
+def check_gathers(rng):
+    from phdslam_tpu.ops.pallas_select import (onehot_cols_batch,
+                                               onehot_cols_xla,
+                                               onehot_rows_batch,
+                                               onehot_rows_xla)
+    ok = True
+    for tag, R, cap, C in (("gather_ackerman", 128, 512, 16),
+                           ("gather_dense", 1024, 1536, 16)):
+        idx = jnp.asarray(rng.integers(0, R, (16, cap)), jnp.int32)
+        tab_t = jnp.asarray(rng.normal(0, 1, (16, C, R)), jnp.float32)
+        got = onehot_cols_batch(idx, tab_t)
+        ref = onehot_cols_xla(idx, tab_t)
+        d = float(jnp.max(jnp.abs(got - ref)))
+        kok = d == 0.0                      # exact copies (one-hot matmul)
+        RESULTS["kernels"][f"{tag}_cols"] = {"ok": kok, "max_d": d}
+        print(f"{'  ok' if kok else 'FAIL'}  {tag}_cols  d={d:.2e}",
+              flush=True)
+        ok &= kok
+        tab = jnp.asarray(rng.normal(0, 1, (16, R, C)), jnp.float32)
+        got = onehot_rows_batch(idx, tab)
+        ref = onehot_rows_xla(idx, tab)
+        d = float(jnp.max(jnp.abs(got - ref)))
+        kok = d == 0.0
+        RESULTS["kernels"][f"{tag}_rows"] = {"ok": kok, "max_d": d}
+        print(f"{'  ok' if kok else 'FAIL'}  {tag}_rows  d={d:.2e}",
+              flush=True)
+        ok &= kok
+    return ok
+
+
+def main():
+    RESULTS["backend"] = jax.default_backend()
+    if jax.default_backend() not in ("tpu", "axon"):
+        print("needs a TPU backend; writing skipped artifact")
+        RESULTS["skipped"] = "no TPU backend"
+        with open("TPU_CHECK.json", "w") as fh:
+            json.dump(RESULTS, fh, indent=1)
+        return 1
+
+    import lower_check
+    RESULTS["lowering_ok"] = lower_check.main() == 0
+
+    rng = np.random.default_rng(0)
+    ok = RESULTS["lowering_ok"]
+    ok &= check_merges(rng)
+    ok &= check_detect(rng)
+    ok &= check_gathers(rng)
+    RESULTS["ok"] = bool(ok)
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "TPU_CHECK.json")
+    with open(out, "w") as fh:
+        json.dump(RESULTS, fh, indent=1)
+    print(("ALL OK" if ok else "FAILURES") + f" -> {out}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
