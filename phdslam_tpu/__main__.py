@@ -48,6 +48,13 @@ def main(argv=None):
     ap.add_argument("--timing", action="store_true",
                     help="reference-faithful timed loop (async runner): "
                          "true per-step loopTime.log + predicttime.log")
+    ap.add_argument("--replay", default=None,
+                    choices=["png", "gif", "mp4"],
+                    help="write a replay artifact (4-panel frames: map, "
+                         "particles, weights, cardinality) + the "
+                         "weight-inspector figure (chunked runner)")
+    ap.add_argument("--replay-every", type=int, default=10,
+                    help="replay frame stride")
     ap.add_argument("--debug", action="store_true",
                     help="enable NaN checks (the reference's NaN-weight "
                          "abort, main.cpp:1307, as a raised error)")
@@ -123,6 +130,25 @@ def main(argv=None):
                                     if args.checkpoint_every else None),
                     start_step=start_step)
                 runner.write_logs(out_dir, res)
+                if args.replay:
+                    import numpy as np
+
+                    from .eval.plots import (animate_run,
+                                             plot_weight_inspector)
+                    gt = None
+                    gt_path = os.path.join(cfg.data_directory,
+                                           "groundtruth.npz")
+                    if os.path.exists(gt_path):
+                        gt = dict(np.load(gt_path))
+                    art = animate_run(res, os.path.join(out_dir, "replay"),
+                                      gt=gt, fmt=args.replay,
+                                      every=args.replay_every)
+                    plot_weight_inspector(
+                        res["log_weights"],
+                        os.path.join(out_dir, "weights.png"))
+                    if args.replay == "png":
+                        art = os.path.dirname(art[0])
+                    print(f"replay artifact: {art}")
             elif args.runner == "scanned":
                 res = runner.run_scanned()
             else:

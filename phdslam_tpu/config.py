@@ -199,6 +199,12 @@ class SlamConfig:
     # reference-shaped route (merge inside vmap — the equivalence oracle),
     # 1 = batch-hoisted two-stage selection + Pallas 2D/4D merges.
     mixed_fast_path: int = 1
+    # Neighbor-exchange resample migration on a particle mesh
+    # (parallel/migrate.py): 0 = always the full all-gather, 1 = neighbor
+    # ppermutes when feasible (fallback to the full gather otherwise).
+    neighbor_migration: int = 1
+    # Per-edge row budget for the neighbor exchange (0 = auto: block/2).
+    migration_row_budget: int = 0
 
     # ------------------------------------------------------------------
     @property
@@ -313,6 +319,8 @@ _OPTION_MAP = {
     "pallas_detect": "pallas_detect",
     "merge_r_par": "merge_r_par",
     "mixed_fast_path": "mixed_fast_path",
+    "neighbor_migration": "neighbor_migration",
+    "migration_row_budget": "migration_row_budget",
     "fused_gather_merge": "fused_gather_merge",
 }
 

@@ -630,7 +630,7 @@ def _gather_particles(state: FilterState, idx) -> FilterState:
 
 
 def maybe_resample(state: FilterState, has_measurements, cfg: SlamConfig,
-                   key):
+                   key, mesh=None):
     """Resample when nEff/N <= threshold and this step had measurements
     (main.cpp:1281-1297)."""
     P = state.pose.shape[0]
@@ -643,9 +643,15 @@ def maybe_resample(state: FilterState, has_measurements, cfg: SlamConfig,
     # the gather only runs on resample steps: under jit+NamedSharding the
     # cross-particle gather lowers to an all-gather of the ENTIRE map state
     # (measured 15.8 MB/step on an 8-device mesh), and even single-chip it
-    # is ~1 ms of HBM traffic — lax.cond skips it when nEff is healthy
+    # is ~1 ms of HBM traffic — lax.cond skips it when nEff is healthy.
+    # On a particle mesh the gather itself routes through the neighbor
+    # migration (parallel/migrate.py): bytes ∝ migrated rows, not map size.
     def _do(st):
-        st = _gather_particles(st, ancestors)
+        if mesh is not None and getattr(cfg, "neighbor_migration", 1):
+            from ..parallel.migrate import gather_particles_sharded
+            st = gather_particles_sharded(st, ancestors, mesh, cfg)
+        else:
+            st = _gather_particles(st, ancestors)
         return st.replace(
             log_weight=jnp.full((P,), -jnp.log(float(P)),
                                 dtype=st.log_weight.dtype),
@@ -663,7 +669,7 @@ def maybe_resample(state: FilterState, has_measurements, cfg: SlamConfig,
 # ----------------------------------------------------------------------------
 
 def phd_step(state: FilterState, z, z_mask, control, dt, do_predict,
-             cfg: SlamConfig):
+             cfg: SlamConfig, mesh=None):
     """One full filter step: predict -> update -> extract -> resample.
 
     Mirrors the per-step body of run_synth (main.cpp:1178-1312). ``z`` is
@@ -672,6 +678,10 @@ def phd_step(state: FilterState, z, z_mask, control, dt, do_predict,
 
     ``cfg.filter_type == 1`` selects the CPHD measurement update
     (filters/cphd.py, functional spec §3.5 of SURVEY.md).
+
+    ``mesh``: the particle mesh when running sharded (bound by
+    parallel.sharding.make_sharded_step_fn) — routes the resampling
+    migration through the neighbor exchange (parallel/migrate.py).
     """
     key = jax.random.fold_in(state.rng, state.step)
     k_pred, k_res, k_var = jax.random.split(key, 3)
@@ -733,7 +743,8 @@ def phd_step(state: FilterState, z, z_mask, control, dt, do_predict,
             resample_idx=ancestors)
         resampled = jnp.asarray(True)
     else:
-        state, n_eff, resampled = maybe_resample(state, has_z, cfg, k_res)
+        state, n_eff, resampled = maybe_resample(state, has_z, cfg, k_res,
+                                                 mesh=mesh)
     state = state.replace(step=state.step + 1)
 
     # cn_estimate = MAP particle's cardinality (recoverSlamState,

@@ -148,7 +148,7 @@ def make_sharded_step_fn(cfg: SlamConfig, mesh: Mesh, donate: bool = True):
         poses=NamedSharding(mesh, P(PARTICLE_AXIS, None)),
         resample_idx=part, cardinality=repl)
 
-    fn = functools.partial(phd_step, cfg=cfg)
+    fn = functools.partial(phd_step, cfg=cfg, mesh=mesh)
     return jax.jit(
         fn,
         in_shardings=(st_sh, repl, repl, repl, repl, repl),
@@ -173,7 +173,8 @@ def make_sharded_scan_fn(cfg: SlamConfig, mesh: Mesh, donate: bool = True):
             ctrl = jnp.where(hc, controls[ci], last_ctrl)
             z = z_all[zi]
             zm = mask_all[zi] & hz
-            st, out = phd_step(st, z, zm, ctrl, dt, dp, cfg=cfg)
+            st, out = phd_step(st, z, zm, ctrl, dt, dp, cfg=cfg,
+                               mesh=mesh)
             return (st, ctrl), (out.expected_pose, out.n_eff, out.resampled,
                                 out.overflow)
         init = (state, jnp.zeros((2,), state.pose.dtype))

@@ -322,3 +322,27 @@ def test_cli_timing_logs(batch_root, tmp_path):
     assert len(lt) == 8 and len(pt) == 8
     assert len(np.unique(lt)) > 1          # true per-step times
     assert (pt[1:] > 0).all()              # predict timed on predict steps
+
+
+def test_cli_replay_artifact(batch_root, tmp_path):
+    """--replay gif: animated 4-panel replay + weight-inspector figure
+    (plot_phdslam.py:35-258 + examineWeights.m roles)."""
+    from phdslam_tpu.__main__ import main
+    cfg_path = str(tmp_path / "t.cfg")
+    with open(cfg_path, "w") as fh:
+        fh.write("motion_type = 1\nn_particles = 8\nmax_features = 16\n"
+                 "max_measurements = 16\nl = 2.83\nh = 0.76\na = 3.78\n"
+                 "b = 0.5\nstd_encoder = 2\nstd_alpha = 0.0873\n"
+                 "max_range = 10\nstd_range = 1\nstd_bearing = 0.0349\n"
+                 "clutter_rate = 20\npd = 0.95\nfilter_type = 1\n"
+                 "max_cardinality = 24\n"
+                 f"data_directory = {batch_root}/run000\n")
+    out_dir = str(tmp_path / "rep")
+    rc = main([cfg_path, "synth", "--out-dir", out_dir, "--steps", "10",
+               "--runner", "chunked", "--chunk", "5",
+               "--replay", "gif", "--replay-every", "4"])
+    assert rc == 0
+    gif = os.path.join(out_dir, "replay", "replay.gif")
+    assert os.path.exists(gif) and os.path.getsize(gif) > 1000
+    wi = os.path.join(out_dir, "weights.png")
+    assert os.path.exists(wi) and os.path.getsize(wi) > 1000

@@ -152,9 +152,11 @@ def main(n_dev=8, p_per_dev=128):
     print(f"per-device [P/N,M,K] grid:     {local_grid:,d} B")
     ratio = coll_bytes / max(local_grid, 1)
     print(f"collective : local-grid ratio: {ratio:.3f}")
-    print("\n(note: resampling migration appears as the large all-gather; "
-          "it only fires on resample steps — nEff-gated — and is the known "
-          "first target for a sorted-ancestor collective-permute)")
+    print("\n(note: the resample-steps bucket holds BOTH lax.cond branches "
+          "of the migration — the executed path is the collective-permute "
+          "neighbor exchange (parallel/migrate.py, bytes ∝ 2 x budget rows "
+          "per leaf); the full all-gather is its infeasible-ancestry "
+          "fallback and does not execute on equilibrium resampling steps)")
     print(json.dumps({"metric": "collective_bytes_per_step_8dev",
                       "value": int(coll_bytes), "unit": "bytes"}))
 
