@@ -101,12 +101,31 @@ class SlamConfig:
     min_separation: float = 5.0
     max_features: int = 100
     min_feature_weight: float = 1e-5
-    particle_weighting: int = 1       # 0 cluster-process, 1 Vo empty-map
+    # 0 cluster-process, 1 Vo empty-map, 2 single-feature RB.
+    # CAPABILITY CLIFF: scheme 2 (and compute_variance=True) disables the
+    # whole selection/Pallas fast pipeline — the update materializes full
+    # [M, K] grids and [N, D, D] candidate arrays per particle
+    # (filters/phd.py::_update_single_pre slow path). Fine at <=1k
+    # particles; unusable at the 10k-particle scale. Schemes 0/1 are the
+    # benchmark path. (Scheme 2 also scores ~50 m on multi-landmark
+    # datasets — inherent to the scheme, see .claude/skills/verify.)
+    particle_weighting: int = 1
+    # DEAD in the reference: parsed into SlamConfig (main.cpp:1006,
+    # slamtypes.h:225) but never read by any kernel or host code in
+    # phdfilter.cu, phdfilter.cu.bak or the CPU sources — the "1: Particle"
+    # daughter representation was never implemented. Parsed here for
+    # config-file compatibility only.
     daughter_mixture_type: int = 0
     n_samples: int = 50               # MC samples for the variance estimator
     max_cardinality: int = 256
     filter_type: int = 1              # 0 = PHD, 1 = CPHD
     map_estimate: int = 1             # bit 0 = MAP, bit 1 = EAP
+    # DEAD in the reference: cphd_disttype ("0 = Binomial Poisson,
+    # 1 = COM-Poisson", main.cpp:1011-1012, slamtypes.h:235-236) and its
+    # nu parameter are parsed and never read — the COM-Poisson clutter
+    # cardinality was never implemented; the live clutter cardinality is
+    # always the Poisson pmf (cphdConstantsKernel, .bak:369-415, matched
+    # by cphd_constants). Parsed here for config-file compatibility only.
     cphd_dist_type: int = 0
     nu: float = 1.0
     distance_metric: int = 0          # 0 = Mahalanobis, 1 = Hellinger
