@@ -234,7 +234,8 @@ def _fast_select(pdw, dv, norm, w_a, act_a, w_birth, act_c, K, M, T, cap,
 
 
 def _update_mixed_pre(pose, mean_s, cov_s, w_s, mean_d, cov_d, w_d,
-                      z, z_label, z_mask, cfg: SlamConfig):
+                      z, z_label, z_mask, cfg: SlamConfig,
+                      det_s=None, det_d=None):
     """Fast-path pre half of the mixed update (single particle, vmapped).
 
     Mirrors the static filter's deferred-gather pipeline
@@ -243,7 +244,13 @@ def _update_mixed_pre(pose, mean_s, cov_s, w_s, mean_d, cov_d, w_d,
     (phdfilter.cu:2480-2505): norm[m] sums detection terms over BOTH maps
     plus clutter and the label-gated birth weight(s). Neither [M, K]
     normalized grid nor any [N, D, D] candidate array is materialized —
-    the merges and row gathers run at batch level."""
+    the merges and row gathers run at batch level.
+
+    ``det_s``/``det_d`` optionally carry this particle's fused Pallas
+    detection+top-T results per map (min_fw=0, cb=0 — see the CPHD route,
+    filters/cphd.py): the joint normalizer is uniform per measurement, so
+    the kernel's top-T-by-pdw order equals the normalized order and
+    thresholding happens post-hoc (exact)."""
     Ks = mean_s.shape[0]
     Kd = mean_d.shape[0]
     M = z.shape[0]
@@ -260,16 +267,20 @@ def _update_mixed_pre(pose, mean_s, cov_s, w_s, mean_d, cov_d, w_d,
 
     dv_s = z_mask[:, None] & in_s[None, :]
     dv_d = z_mask[:, None] & in_d[None, :]
-    pdw_s = jnp.where(dv_s, ekf.ekf_detection_linear(pre_s, w_s, z), 0.0)
-    pdw_d = jnp.where(dv_d, ekf.ekf_detection_linear(pre_d, w_d, z), 0.0)
-    # materialize once: both grids feed the normalizer, top-T sweeps and
-    # cardinality sums (see the static path's barrier note)
-    pdw_s, pdw_d = jax.lax.optimization_barrier((pdw_s, pdw_d))
+    if det_s is None or det_d is None:
+        pdw_s = jnp.where(dv_s, ekf.ekf_detection_linear(pre_s, w_s, z), 0.0)
+        pdw_d = jnp.where(dv_d, ekf.ekf_detection_linear(pre_d, w_d, z), 0.0)
+        # materialize once: both grids feed the normalizer, top-T sweeps
+        # and cardinality sums (see the static path's barrier note)
+        pdw_s, pdw_d = jax.lax.optimization_barrier((pdw_s, pdw_d))
+        sum_s = jnp.sum(pdw_s, axis=1)
+        sum_d = jnp.sum(pdw_d, axis=1)
+    else:
+        pdw_s = pdw_d = None        # grids live only in the kernel's VMEM
+        sum_s, sum_d = det_s[2], det_d[2]
 
     bw_s, bw_d, birth_norm = _birth_weights(z_label, M, cfg, dtype)
 
-    sum_s = jnp.sum(pdw_s, axis=1)
-    sum_d = jnp.sum(pdw_d, axis=1)
     norm = sum_s + sum_d + cfg.clutter_density + birth_norm      # [M]
     log_norm = jnp.log(norm)
 
@@ -306,10 +317,35 @@ def _update_mixed_pre(pose, mean_s, cov_s, w_s, mean_d, cov_d, w_d,
     b_mean_s, b_cov_s = measurement.birth_mean_cov(pose, z, cfg)
     b_mean_d, b_cov_d = measurement.birth_mean_cov_4d(pose, z, cfg)
 
-    def gather_for(pdw, dv, w_a, act_a, wb, act_c, mean, cov, pre, b_mean,
-                   b_cov, K):
-        idx, cand_w, sel_act, n_compact = _fast_select(
-            pdw, dv, norm, w_a, act_a, wb, act_c, K, M, T, cap, min_fw)
+    def det_select(det, w_a, act_a, wb, act_c, K):
+        """Stage 1 from the fused kernel's top-T (joint-norm scaled,
+        thresholded post-hoc — order-exact; count_d counts pdw > 0 lanes
+        so the overflow diagnostic may overcount, as on the CPHD route)."""
+        from ..ops.gm_merge import topcap_sort
+        vals_p, idx_d, _, count_d = det
+        w_sel = jnp.where(vals_p > 0, vals_p / norm[:, None], 0.0)
+        act_sel = (w_sel >= min_fw) & (vals_p > 0)
+        w_sel = jnp.where(act_sel, w_sel, 0.0)
+        flat_d = K + jnp.arange(M, dtype=jnp.int32)[:, None] * K + idx_d
+        red_w = jnp.concatenate([w_a, w_sel.reshape(M * T), wb], axis=0)
+        red_act = jnp.concatenate([act_a, act_sel.reshape(M * T), act_c],
+                                  axis=0)
+        red_flat = jnp.concatenate(
+            [jnp.arange(K, dtype=jnp.int32), flat_d.reshape(M * T),
+             K + M * K + jnp.arange(M, dtype=jnp.int32)], axis=0)
+        idx, cand_w, sel_act, n_drop = topcap_sort(red_w, red_act,
+                                                   red_flat, cap)
+        n_extra = jnp.sum(count_d) - jnp.sum(jnp.minimum(count_d, T))
+        return idx, cand_w, sel_act, n_drop + n_extra
+
+    def gather_for(det, pdw, dv, w_a, act_a, wb, act_c, mean, cov, pre,
+                   b_mean, b_cov, K):
+        if det is not None:
+            idx, cand_w, sel_act, n_compact = det_select(
+                det, w_a, act_a, wb, act_c, K)
+        else:
+            idx, cand_w, sel_act, n_compact = _fast_select(
+                pdw, dv, norm, w_a, act_a, wb, act_c, K, M, T, cap, min_fw)
         k_eff, m_eff, is_p, is_d = ekf.candidate_gather_indices(
             idx, K, M, True)
         t_k, t_m = ekf.candidate_tables_T(mean, cov, pre, z, b_mean, b_cov)
@@ -317,10 +353,12 @@ def _update_mixed_pre(pose, mean_s, cov_s, w_s, mean_d, cov_d, w_d,
                     sel_act=sel_act, cand_w=cand_w, t_k=t_k, t_m=t_m), \
             n_compact
 
-    g_s, nc_s = gather_for(pdw_s, dv_s, w_a_s, act_a_s, wb_s, act_c_s,
-                           mean_s, cov_s, pre_s, b_mean_s, b_cov_s, Ks)
-    g_d, nc_d = gather_for(pdw_d, dv_d, w_a_d, act_a_d, wb_d, act_c_d,
-                           mean_d, cov_d, pre_d, b_mean_d, b_cov_d, Kd)
+    g_s, nc_s = gather_for(det_s, pdw_s, dv_s, w_a_s, act_a_s, wb_s,
+                           act_c_s, mean_s, cov_s, pre_s, b_mean_s,
+                           b_cov_s, Ks)
+    g_d, nc_d = gather_for(det_d, pdw_d, dv_d, w_a_d, act_a_d, wb_d,
+                           act_c_d, mean_d, cov_d, pre_d, b_mean_d,
+                           b_cov_d, Kd)
 
     return dict(g_s=g_s, g_d=g_d, dlog_w=dlog_w, out_s=out_s,
                 nc_s=nc_s, nc_d=nc_d)
@@ -340,15 +378,47 @@ def _batched_mixed_update(pose, gs, gd, z, z_label, z_mask, cfg: SlamConfig):
     one batch-level Pallas merge (phdfilter.cu:2323-2635 is a first-class
     kernel in the reference; this is its premium path here too)."""
     from ..ops.gm_merge import merge_batch_dispatch_packed
-    from .phd import _finish_candidates_packed, _update_single_post
+    from .phd import (_detection_planes_single, _finish_candidates_packed,
+                      _update_single_post)
 
     Ks = gs.mean.shape[-2]
     Kd = gd.mean.shape[-2]
+    M = z.shape[0]
+    T = cfg.detection_topk
 
-    pre = jax.vmap(
-        lambda p, ms, cs, ws, md, cd, wd: _update_mixed_pre(
-            p, ms, cs, ws, md, cd, wd, z, z_label, z_mask, cfg)
-    )(pose, gs.mean, gs.cov, gs.weight, gd.mean, gd.cov, gd.weight)
+    # hoist the fused detection+top-T kernel out of the vmap for BOTH maps
+    # (min_fw=0, cb=0: row sums feed the joint normalizer; thresholding is
+    # post-hoc — the CPHD pattern, filters/cphd.py)
+    det_s = det_d = None
+    if 0 < T < min(Ks, Kd) and cfg.pallas_detect:
+        from ..ops.pallas_detect import detection_topT_batch
+        from ..ops.pallas_merge import pallas_available
+        interp = cfg.pallas_detect == 2
+        if interp or pallas_available():
+            z4 = jnp.stack([z[:, 0], z[:, 1], z_mask.astype(z.dtype),
+                            jnp.zeros_like(z[:, 0])], axis=1)
+            pl_s = jax.vmap(lambda p, m, c, w: _detection_planes_single(
+                p, m, c, w, cfg))(pose, gs.mean, gs.cov, gs.weight)
+            pl_d = jax.vmap(lambda p, m, c, w: _detection_planes_single(
+                p, m, c, w, cfg))(pose, gd.mean, gd.cov, gd.weight)
+            det_s = detection_topT_batch(pl_s, z4, T, 0.0, 0.0,
+                                         interpret=interp)
+            det_d = detection_topT_batch(pl_d, z4, T, 0.0, 0.0,
+                                         interpret=interp)
+
+    if det_s is not None:
+        pre = jax.vmap(
+            lambda p, ms, cs, ws, md, cd, wd, ds0, ds1, ds2, ds3, dd0, dd1,
+            dd2, dd3: _update_mixed_pre(
+                p, ms, cs, ws, md, cd, wd, z, z_label, z_mask, cfg,
+                det_s=(ds0, ds1, ds2, ds3), det_d=(dd0, dd1, dd2, dd3))
+        )(pose, gs.mean, gs.cov, gs.weight, gd.mean, gd.cov, gd.weight,
+          *det_s, *det_d)
+    else:
+        pre = jax.vmap(
+            lambda p, ms, cs, ws, md, cd, wd: _update_mixed_pre(
+                p, ms, cs, ws, md, cd, wd, z, z_label, z_mask, cfg)
+        )(pose, gs.mean, gs.cov, gs.weight, gd.mean, gd.cov, gd.weight)
 
     # topcap_sort emits a weight-descending live prefix for both maps
     packed_s = _finish_candidates_packed({"gather": pre["g_s"]}, 2,

@@ -173,13 +173,17 @@ def test_mixed_fast_path_matches_slow():
 
     from phdslam_tpu.filters.mixed import mixed_update
 
-    for weighting in (0, 1):
+    for weighting, pallas_detect in ((0, 0), (1, 0), (0, 2)):
+        # pallas_detect=2: the fused detection kernel route (interpret
+        # mode on CPU) must match the grid route too
         cfg = base_cfg(feature_model=2, particle_weighting=weighting,
                        n_particles=5, max_features=16, max_measurements=6,
-                       merge_candidate_cap=64, detection_topk=8)
+                       merge_candidate_cap=64, detection_topk=8,
+                       pallas_detect=pallas_detect)
         state, z, mask = _mixed_state_and_z(cfg)
         fast, ovf_f = mixed_update(state, z, mask, cfg)
-        slow_cfg = dataclasses.replace(cfg, mixed_fast_path=0)
+        slow_cfg = dataclasses.replace(cfg, mixed_fast_path=0,
+                                       pallas_detect=0)
         slow, ovf_s = mixed_update(state, z, mask, slow_cfg)
 
         np.testing.assert_allclose(np.asarray(fast.log_weight),
