@@ -111,15 +111,30 @@ def main(argv=None):
                 print("--timing uses the per-step async runner")
                 args.runner = "async"
             start_step = 0
+            last_ctrl = None
             if args.resume:
                 import numpy as np
 
                 from .runtime.checkpoint import load_checkpoint
-                state, extra = load_checkpoint(
-                    args.resume, runner.state,
-                    extra_like={"step": np.asarray(0)})
+                if args.runner != "chunked":
+                    # a non-chunked runner would replay the full schedule
+                    # from step 0 on the already-advanced state
+                    ap.error("--resume requires --runner chunked "
+                             "(start_step is only honored there)")
+                try:
+                    state, extra = load_checkpoint(
+                        args.resume, runner.state,
+                        extra_like={"step": np.asarray(0),
+                                    "last_ctrl": np.zeros(2, np.float32)})
+                except Exception:   # pre-round-3 checkpoint: step only
+                    state, extra = load_checkpoint(
+                        args.resume, runner.state,
+                        extra_like={"step": np.asarray(0)})
                 runner.state = state
-                start_step = int(np.asarray(extra["step"])) if extra else 0
+                if extra:
+                    start_step = int(np.asarray(extra["step"]))
+                    if "last_ctrl" in extra:
+                        last_ctrl = np.asarray(extra["last_ctrl"])
                 print(f"resumed from {args.resume} at step {start_step}")
             if args.runner == "chunked":
                 res = runner.run_chunked(
@@ -128,7 +143,7 @@ def main(argv=None):
                     checkpoint_every=args.checkpoint_every,
                     checkpoint_dir=(os.path.join(out_dir, "checkpoints")
                                     if args.checkpoint_every else None),
-                    start_step=start_step)
+                    start_step=start_step, last_ctrl=last_ctrl)
                 runner.write_logs(out_dir, res)
                 if args.replay:
                     import numpy as np

@@ -218,6 +218,20 @@ class SlamConfig:
     # reference-shaped route (merge inside vmap — the equivalence oracle),
     # 1 = batch-hoisted two-stage selection + Pallas 2D/4D merges.
     mixed_fast_path: int = 1
+    # EAP extraction cadence (map_estimate bit 1): run the pairwise-tree
+    # expected-map merge every N steps and the cheap MAP extraction in
+    # between (1 = every step, the reference's behavior — it extracts every
+    # step, main.cpp:1274). The tree costs ~630 ms at P=10240/K=1024
+    # (BENCH.md); cadence N amortizes that to ~1/N per step.
+    eap_every: int = 1
+    # Intermediate cluster cap for the pairwise EAP tree (0 = K). The
+    # reference's ragged pairwise reduction (phdfilter.cu:3828-3863) never
+    # truncates mid-tree; our fixed-capacity levels drop lowest-weight mass
+    # when a pair's merged live count exceeds this cap. Per-level bound:
+    # at most (live_in - cap) lowest-weight clusters drop, so total dropped
+    # mass <= sum over levels of the tail below the cap'th weight. Raise to
+    # 2K for high-diversity (pre-resample) particle sets.
+    eap_tree_cap: int = 0
     # Neighbor-exchange resample migration on a particle mesh
     # (parallel/migrate.py): 0 = always the full all-gather, 1 = neighbor
     # ppermutes when feasible (fallback to the full gather otherwise).
@@ -340,6 +354,8 @@ _OPTION_MAP = {
     "mixed_fast_path": "mixed_fast_path",
     "neighbor_migration": "neighbor_migration",
     "migration_row_budget": "migration_row_budget",
+    "eap_every": "eap_every",
+    "eap_tree_cap": "eap_tree_cap",
     "fused_gather_merge": "fused_gather_merge",
 }
 

@@ -195,22 +195,33 @@ def psi_terms(consts: CphdConstants, log_esf_full, log_esfd, log_cn_predict,
     log_ip_psi0 = logsumexp(log_psi0 + log_cn_predict, axis=-1)
     log_ip_psi1 = logsumexp(log_psi1 + log_cn_predict, axis=-1)
 
-    # psi1 detection terms per measurement (.bak:1399-1426)
+    # psi1 detection terms per measurement (.bak:1399-1426).
+    #
+    # The per-omitted-measurement inner product is SEPARABLE: with
+    #   G(n, j) = (M-1-j)! + cn_clutter[M-1-j] - n*log_wsum
+    #             + P(n, j+1) + (n-j-1)*log_ip_qdw
+    # (everything in tmpd except the esfd term — independent of m), and the
+    # validity region (j <= min(n, nm-1)) & (j+1 <= n) factoring into a
+    # per-j condition (j <= nm-1) and a per-(n, j) condition (n >= j+1),
+    #   ip1d[m] = logsum_{n,j} [esfd[m, j] + G(n, j) + cn_predict(n)]
+    #           = logsum_j [esfd[m, j] + H(j)],
+    #   H(j)    = logsum_{n >= j+1} [G(n, j) + cn_predict(n)].
+    # H is one [C+1, M] grid shared by ALL measurements; the naive form
+    # (the reference's computePsiKernel re-run per omitted z, and our
+    # round-2 vmap) builds [M, C+1, M] — the measured CPHD scaling
+    # frontier at P=10240 (BENCH.md). Exact reassociation, not an
+    # approximation.
     M = log_esfd.shape[0]
-
-    def one_measurement(esfd_m):
-        # j ranges over 0..M-1 here (one measurement removed)
-        jd = jnp.arange(M, dtype=dtype)[None, :]
-        mjd = jnp.clip((nm - jd - 1.0).astype(jnp.int32), 0, C1 - 1)
-        auxd = (consts.log_factorial[mjd] + consts.log_cn_clutter[mjd]
-                + esfd_m[None, :] - n * log_wsum)
-        pd_ = log_perm(jd + 1.0)
-        tmpd = auxd + pd_ + (n - (jd + 1.0)) * log_ip_qdw
-        validd = (jd <= jnp.minimum(n, nm - 1.0)) & ((jd + 1.0) <= n)
-        log_psi1d = masked_logsumexp(tmpd, validd, axis=-1)
-        return logsumexp(log_psi1d + log_cn_predict, axis=-1)
-
-    log_ip_psi1d = jax.vmap(one_measurement)(log_esfd)  # [M]
+    jd = jnp.arange(M, dtype=dtype)[None, :]            # [1, M]
+    mjd = jnp.clip((nm - jd - 1.0).astype(jnp.int32), 0, C1 - 1)
+    g = (consts.log_factorial[mjd] + consts.log_cn_clutter[mjd]
+         - n * log_wsum + log_perm(jd + 1.0)
+         + (n - (jd + 1.0)) * log_ip_qdw)               # [C+1, M]
+    h = masked_logsumexp(g + log_cn_predict[:, None],
+                         (jd + 1.0) <= n, axis=0)       # [M]
+    valid_jd = jd[0] <= nm - 1.0                        # [M]
+    log_ip_psi1d = masked_logsumexp(
+        log_esfd + h[None, :], valid_jd[None, :], axis=-1)  # [M]
     log_ip_psi1d = jnp.where(z_mask, log_ip_psi1d, LOG0)
     return log_psi0, log_ip_psi0, log_ip_psi1, log_ip_psi1d
 

@@ -55,27 +55,63 @@ def eap_expected_map_flat(gm: GMState, log_weight, cfg: SlamConfig,
     return mean, cov, weight
 
 
+def _sort_lanes_desc(mean, cov, w):
+    """Payload-sort merge lanes weight-descending per batch row.
+
+    One variadic lax.sort carrying the D + D(D+1)/2 + 1 SoA planes — no
+    [B, N, N] one-hot (85 GB at the dense tree's first level) and no
+    batched gather (BENCH.md measured-and-rejected list). Enables the
+    Pallas merge's sorted-principal mode and the width switcher.
+    """
+    B, N, D = mean.shape
+    planes = [mean[..., d] for d in range(D)]
+    for a in range(D):
+        for b in range(a, D):
+            planes.append(cov[..., a, b])
+    out = jax.lax.sort((-w,) + tuple(planes), num_keys=1, dimension=-1)
+    w_s = jnp.maximum(-out[0], 0.0)
+    mean_s = jnp.stack(out[1:1 + D], axis=-1)
+    full = [[None] * D for _ in range(D)]
+    i = 1 + D
+    for a in range(D):
+        for b in range(a, D):
+            full[a][b] = full[b][a] = out[i]
+            i += 1
+    cov_s = jnp.stack([jnp.stack(row, axis=-1) for row in full], axis=-2)
+    return mean_s, cov_s, w_s
+
+
 def eap_expected_map(gm: GMState, log_weight, cfg: SlamConfig,
-                     out_cap=None):
+                     out_cap=None, return_dropped: bool = False):
     """Expected a-posteriori map via log2(P)-depth pairwise tree merges —
     the reference's device-side pairwise reduction (phdfilter.cu:3828-3863:
     repeatedly merge map pairs until one remains), batched so every level
     is ONE batch-level merge over P/2 particle pairs.
 
     Each level reshapes [Pl, K] -> [Pl/2, 2K] and merges each pair's 2K
-    lanes back to K clusters (the Pallas batch kernel engages on TPU).
-    Under NamedSharding the early levels pair within-shard particles; only
-    the last log2(n_devices) levels move one K-component map per device —
-    O(K D^2 log N) bytes instead of the flat form's full-state all-gather.
+    lanes back to ``cfg.eap_tree_cap`` (default K) clusters; each level's
+    lanes are weight-sorted first so the Pallas merge runs in
+    sorted-principal mode with width switching. Under NamedSharding the
+    early levels pair within-shard particles; only the last
+    log2(n_devices) levels move one map per device — O(K D^2 log N) bytes
+    instead of the flat form's full-state all-gather.
 
-    Returns (mean[out_cap, D], cov, weight).
+    Unlike the reference's ragged tree, fixed-capacity levels can drop
+    lowest-weight mass when a pair's merged live count exceeds the
+    intermediate cap; ``return_dropped=True`` returns the summed dropped
+    cluster count as a diagnostic 4th output.
+
+    Returns (mean[out_cap, D], cov, weight[, n_dropped]).
     """
     from ..ops.gm_merge import merge_batch_dispatch
 
     P, K, D = gm.mean.shape
     out_cap = out_cap or K
     if P <= 2:
-        return eap_expected_map_flat(gm, log_weight, cfg, out_cap)
+        mean, cov, w = eap_expected_map_flat(gm, log_weight, cfg, out_cap)
+        if return_dropped:
+            return mean, cov, w, jnp.zeros((), jnp.int32)
+        return mean, cov, w
 
     eye = jnp.eye(D, dtype=gm.mean.dtype)
     w = jnp.exp(log_weight)[:, None] * gm.weight              # [P, K]
@@ -84,7 +120,9 @@ def eap_expected_map(gm: GMState, log_weight, cfg: SlamConfig,
     cov = jnp.where(act[..., None, None], gm.cov, eye)
     w = jnp.where(act, w, 0.0)
 
+    mid_cap = cfg.eap_tree_cap or K
     L = K
+    n_dropped = jnp.zeros((), jnp.int32)
     while mean.shape[0] > 1:
         Pl = mean.shape[0]
         if Pl % 2:                                   # pad one empty map
@@ -97,10 +135,14 @@ def eap_expected_map(gm: GMState, log_weight, cfg: SlamConfig,
         mean = mean.reshape(Pl // 2, 2 * L, D)
         cov = cov.reshape(Pl // 2, 2 * L, D, D)
         w = w.reshape(Pl // 2, 2 * L)
-        cap = out_cap if Pl == 2 else K
-        mean, cov, w, _, _ = merge_batch_dispatch(
-            mean, cov, w, w > 0, cfg, cap)
+        mean, cov, w = _sort_lanes_desc(mean, cov, w)
+        cap = out_cap if Pl == 2 else mid_cap
+        mean, cov, w, _, drop = merge_batch_dispatch(
+            mean, cov, w, w > 0, cfg, cap, sorted_prefix=True)
+        n_dropped = n_dropped + jnp.sum(drop).astype(jnp.int32)
         L = cap
+    if return_dropped:
+        return mean[0], cov[0], w[0], n_dropped
     return mean[0], cov[0], w[0]
 
 

@@ -596,9 +596,31 @@ def extract(state: FilterState, cfg: SlamConfig):
     gm = state.map_dynamic if cfg.feature_model == 1 else state.map_static
     if cfg.map_estimate & 2 and not (cfg.map_estimate & 1):
         # EAP expected map (mapEstimate bit 1, main.cpp:363-379): merge the
-        # particle-weight-scaled concatenation of all maps
+        # particle-weight-scaled concatenation of all maps. The reference
+        # extracts every step (main.cpp:1274); cfg.eap_every > 1 amortizes
+        # the pairwise tree by running it every N steps with the cheap MAP
+        # extraction in between (both produce [K]-capacity maps).
         from .extras import eap_expected_map
-        mean, cov, weight = eap_expected_map(gm, state.log_weight, cfg)
+
+        def _eap(st):
+            return eap_expected_map(
+                (st.map_dynamic if cfg.feature_model == 1
+                 else st.map_static), st.log_weight, cfg)
+
+        def _map(st):
+            g = (st.map_dynamic if cfg.feature_model == 1
+                 else st.map_static)
+            oh_ = (jnp.arange(st.log_weight.shape[0])
+                   == jnp.argmax(st.log_weight)).astype(g.mean.dtype)
+            return (jnp.einsum("p,pkd->kd", oh_, g.mean),
+                    jnp.einsum("p,pkab->kab", oh_, g.cov),
+                    jnp.einsum("p,pk->k", oh_, g.weight))
+
+        if cfg.eap_every > 1:
+            mean, cov, weight = jax.lax.cond(
+                state.step % cfg.eap_every == 0, _eap, _map, state)
+        else:
+            mean, cov, weight = _eap(state)
         return expected_pose, (mean, cov, weight)
     # MAP map = argmax-weight particle's map (mapEstimate bit 0, :344-361).
     # One-hot contraction over the particle axis instead of a dynamic-index

@@ -219,7 +219,7 @@ class SynthSLAMRunner:
     def run_chunked(self, chunk: int = 64, collect_maps: bool = True,
                     collect_particles: bool = False, timing: bool = False,
                     checkpoint_every: int = 0, checkpoint_dir: str = None,
-                    start_step: int = 0):
+                    start_step: int = 0, last_ctrl=None):
         """Run the sequence as a host loop over fixed-size on-device scans.
 
         The sweet spot for a remote-tunneled TPU: one medium-sized XLA
@@ -235,7 +235,10 @@ class SynthSLAMRunner:
         crosses a multiple of N steps (the reference serializes at step
         100, main.cpp:1262-1269; ours is periodic for preemption
         recovery). ``start_step`` skips already-completed steps when
-        resuming from such a checkpoint.
+        resuming from such a checkpoint; ``last_ctrl`` restores the
+        carried control at that boundary (saved in the checkpoint extra —
+        timestamped schedules have measurement-only steps whose predict
+        reuses the last applied control, main.cpp:1192-1229).
         """
         cfg = self.cfg
         z_all, mask_all = self.z_dev, self.mask_dev
@@ -293,10 +296,15 @@ class SynthSLAMRunner:
                 f"size ({chunk}) — checkpoints are saved at chunk boundaries")
         t0 = time.perf_counter()
         t_chunk = t0
-        last_ctrl = jnp.zeros((2,), jnp.float32)
+        last_ctrl = (jnp.zeros((2,), jnp.float32) if last_ctrl is None
+                     else jnp.asarray(last_ctrl, jnp.float32))
         chunks = []
         chunk_ms = []
         first_chunk = max(0, min(start_step, T)) // chunk
+        if first_chunk >= n_chunks:
+            raise ValueError(
+                f"start_step ({start_step}) is at or past the end of the "
+                f"{T}-step schedule — nothing to resume")
         next_ckpt = None
         if checkpoint_every > 0 and checkpoint_dir:
             from .runtime.checkpoint import save_checkpoint
@@ -319,7 +327,8 @@ class SynthSLAMRunner:
                 save_checkpoint(
                     os.path.join(checkpoint_dir, f"step{steps_done:05d}"),
                     self.state,
-                    extra={"step": np.asarray(steps_done)})
+                    extra={"step": np.asarray(steps_done),
+                           "last_ctrl": np.asarray(last_ctrl)})
                 next_ckpt = (steps_done // checkpoint_every + 1) \
                     * checkpoint_every
         jax.block_until_ready(chunks[-1][0])

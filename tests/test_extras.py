@@ -204,3 +204,83 @@ def test_eap_extraction_in_step():
     # weight ~1 each (summed across all particles scaled by particle weight)
     assert (w > 0.5).sum() >= 2
     assert np.isfinite(np.asarray(out.map_mean)).all()
+
+
+def test_eap_cadence_knob():
+    """cfg.eap_every = N: EAP tree on step % N == 0, MAP extraction in
+    between (amortizes the ~630 ms tree at P=10240/K=1024, BENCH.md)."""
+    from phdslam_tpu.filters.phd import make_step_fn
+    from phdslam_tpu.types import init_state
+
+    base = dict(
+        n_particles=8, max_features=16, max_measurements=4, motion_type=0,
+        feature_model=0, filter_type=0, particle_weighting=0,
+        map_estimate=2, max_range=20.0, std_range=0.25, std_bearing=0.02,
+        clutter_rate=1.0, pd=0.95, birth_weight=0.05, min_separation=2.0,
+        resample_threshold=0.3, seed=1)
+    cfg_every = SlamConfig(**base, eap_every=3)
+    cfg_ref = SlamConfig(**base)
+    cfg_map = SlamConfig(**{**base, "map_estimate": 1})
+    z = jnp.asarray([[5.0, 0.3], [7.0, -0.4], [0, 0], [0, 0]], jnp.float32)
+    mask = jnp.asarray([True, True, False, False])
+
+    outs = {}
+    for name, cfg in (("every", cfg_every), ("ref", cfg_ref),
+                      ("map", cfg_map)):
+        step = make_step_fn(cfg, donate=False)
+        state = init_state(cfg)
+        per_step = []
+        for n in range(7):
+            state, out = step(state, z, mask, jnp.zeros((2,), jnp.float32),
+                              jnp.float32(0.1), jnp.asarray(n > 0))
+            per_step.append(np.asarray(out.map_weight))
+        outs[name] = per_step
+
+    # EAP steps (state.step % 3 == 0 at extraction: steps 0, 3, 6) match the
+    # every-step-EAP run exactly (same filter trajectory, deterministic keys)
+    for n in (0, 3, 6):
+        np.testing.assert_allclose(outs["every"][n], outs["ref"][n],
+                                   rtol=1e-6)
+    # in-between steps fall back to MAP extraction — bit-identical to a
+    # map_estimate=1 run (identical filter trajectory either way)
+    for n in (1, 2, 4, 5):
+        np.testing.assert_allclose(outs["every"][n], outs["map"][n],
+                                   rtol=1e-6)
+
+
+def test_eap_tree_dropped_mass_diagnostic():
+    """return_dropped counts clusters truncated by capacity; eap_tree_cap
+    widens the intermediate levels so the tree keeps the GLOBAL
+    top-out_cap mass instead of per-pair truncations (advisor finding: the
+    reference's ragged tree never truncates mid-level)."""
+    cfg = SlamConfig(min_separation=0.5, distance_metric=0)
+    P, K = 8, 8
+    rng = np.random.default_rng(5)
+    # every particle contributes K well-separated distinct clusters with
+    # distinct weights -> each pair merge holds 2K live clusters, over the
+    # K intermediate cap; mid-level truncation drops per-PAIR lightest
+    # clusters even when they are globally heavy
+    mean = rng.uniform(-200, 200, (P, K, 2)).astype(np.float32)
+    weight = rng.uniform(0.1, 1.0, (P, K)).astype(np.float32)
+    gm = GMState(
+        mean=jnp.asarray(mean),
+        cov=jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32) * 0.01,
+                             (P, K, 2, 2)),
+        weight=jnp.asarray(weight))
+    lw = jnp.full((P,), -np.log(P), jnp.float32)
+    out_cap = 2 * K
+    m, c, w, dropped = eap_expected_map(gm, lw, cfg, out_cap=out_cap,
+                                        return_dropped=True)
+    assert int(dropped) > 0
+
+    cfg_wide = SlamConfig(min_separation=0.5, distance_metric=0,
+                          eap_tree_cap=P * K)
+    m2, c2, w2, dropped2 = eap_expected_map(gm, lw, cfg_wide,
+                                            out_cap=out_cap,
+                                            return_dropped=True)
+    # the wide tree keeps the global top-out_cap by weight: strictly more
+    # retained mass than the per-pair-truncated narrow tree
+    assert float(jnp.sum(w2)) > float(jnp.sum(w))
+    np.testing.assert_allclose(
+        float(jnp.sum(w2)),
+        np.sort(weight.reshape(-1) / P)[-out_cap:].sum(), rtol=1e-4)

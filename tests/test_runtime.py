@@ -301,6 +301,85 @@ def test_cli_periodic_checkpoint_and_resume(batch_root, tmp_path):
     assert len(np.unique(times)) > 1, "loopTime.log is a repeated average"
 
 
+def test_resume_restores_carried_control(tmp_path):
+    """Timestamped schedules have measurement-only steps whose predict
+    reuses the LAST APPLIED control (main.cpp:1192-1229); a resumed chunked
+    run must restore that carried control from the checkpoint, not reset it
+    to zero (round-2 advisor finding). Pinned by bit-comparing a resumed
+    run against the uninterrupted one across a boundary that lands between
+    a control step and a measurement-only step."""
+    import jax.numpy as jnp
+
+    from phdslam_tpu.__main__ import main
+
+    # interleaved timestamps: z at .25, .75, 1.25, ...; c at .5, 1.0, ...
+    # -> alternating measurement-only / control-only steps
+    data = tmp_path / "data"
+    data.mkdir()
+    rng = np.random.default_rng(3)
+    n = 10
+    with open(data / "measurements.txt", "w") as fh:
+        fh.write("% header\n")
+        for _ in range(n):
+            r = rng.uniform(1, 8, 3)
+            b = rng.uniform(-1, 1, 3)
+            fh.write(" ".join(f"{x:.4f} {y:.4f}" for x, y in zip(r, b))
+                     + " \n")
+    with open(data / "controls.txt", "w") as fh:
+        fh.write("% header\n")
+        for _ in range(n):
+            fh.write("1.5 0.05\n")
+    with open(data / "measurement_times.txt", "w") as fh:
+        fh.write("\n".join(f"{0.25 + 0.5 * i:.2f}" for i in range(n)) + "\n")
+    with open(data / "control_times.txt", "w") as fh:
+        fh.write("\n".join(f"{0.5 + 0.5 * i:.2f}" for i in range(n)) + "\n")
+
+    cfg_path = str(tmp_path / "t.cfg")
+    with open(cfg_path, "w") as fh:
+        fh.write("motion_type = 1\nn_particles = 8\nmax_features = 16\n"
+                 "max_measurements = 8\nl = 2.83\nh = 0.76\na = 3.78\n"
+                 "b = 0.5\nstd_encoder = 2\nstd_alpha = 0.0873\n"
+                 "max_range = 10\nstd_range = 1\nstd_bearing = 0.0349\n"
+                 "clutter_rate = 20\npd = 0.95\nfilter_type = 0\n"
+                 f"data_directory = {data}\n")
+
+    full_dir = str(tmp_path / "full")
+    assert main([cfg_path, "synth", "--out-dir", full_dir, "--steps", "16",
+                 "--runner", "chunked", "--chunk", "4"]) == 0
+    ck_dir = str(tmp_path / "ck")
+    assert main([cfg_path, "synth", "--out-dir", ck_dir, "--steps", "16",
+                 "--runner", "chunked", "--chunk", "4",
+                 "--checkpoint-every", "8"]) == 0
+    res_dir = str(tmp_path / "resumed")
+    assert main([cfg_path, "synth", "--out-dir", res_dir, "--steps", "16",
+                 "--runner", "chunked", "--chunk", "4", "--resume",
+                 os.path.join(ck_dir, "checkpoints", "step00008")]) == 0
+
+    last = sorted(f for f in os.listdir(full_dir)
+                  if f.startswith("state_estimate"))[-1]
+    with open(os.path.join(full_dir, last)) as fh:
+        full_pose = [float(x) for x in fh.readline().split()]
+    with open(os.path.join(res_dir, last)) as fh:
+        res_pose = [float(x) for x in fh.readline().split()]
+    np.testing.assert_allclose(res_pose, full_pose, rtol=1e-6)
+
+    # --resume with a non-chunked runner is rejected (start_step would be
+    # silently ignored and the schedule replayed from 0)
+    with pytest.raises(SystemExit):
+        main([cfg_path, "synth", "--out-dir", str(tmp_path / "x"),
+              "--steps", "16", "--runner", "scanned", "--resume",
+              os.path.join(ck_dir, "checkpoints", "step00008")])
+
+    # resuming at/past the end of the schedule raises a clear error
+    from phdslam_tpu.config import load_config
+    from phdslam_tpu.slam import SynthSLAMRunner
+    cfg = load_config(cfg_path)
+    cfg.n_steps = 16
+    r = SynthSLAMRunner(cfg)
+    with pytest.raises(ValueError, match="past the end"):
+        r.run_chunked(chunk=4, start_step=16)
+
+
 def test_cli_timing_logs(batch_root, tmp_path):
     """--timing: per-step loopTime.log + predicttime.log (the reference's
     CUDA-event prediction timing, phdfilter.cu:1244-1251)."""
