@@ -102,13 +102,16 @@ class SlamConfig:
     max_features: int = 100
     min_feature_weight: float = 1e-5
     # 0 cluster-process, 1 Vo empty-map, 2 single-feature RB.
-    # CAPABILITY CLIFF: scheme 2 (and compute_variance=True) disables the
-    # whole selection/Pallas fast pipeline — the update materializes full
-    # [M, K] grids and [N, D, D] candidate arrays per particle
-    # (filters/phd.py::_update_single_pre slow path). Fine at <=1k
-    # particles; unusable at the 10k-particle scale. Schemes 0/1 are the
-    # benchmark path. (Scheme 2 also scores ~50 m on multi-landmark
-    # datasets — inherent to the scheme, see .claude/skills/verify.)
+    # Scheme 2 runs on the selection/Pallas fast pipeline since round 3
+    # (argmax single-object likelihood over the selected top-T lanes +
+    # two GM point evaluations, phdfilter.cu:3599-3661); it only differs
+    # from the reference's full-grid search when the argmax hides in a
+    # sub-top-T / sub-threshold pdw lane. CAPABILITY CLIFF (remaining):
+    # compute_variance=True still forces the slow full-grid path — fine
+    # at <=1k particles, unusable at 10k (filters/phd.py slow path).
+    # Schemes 0/1 are the benchmark path. (Scheme 2 scores ~50 m on
+    # multi-landmark datasets — inherent to the scheme, see
+    # .claude/skills/verify.)
     particle_weighting: int = 1
     # DEAD in the reference: parsed into SlamConfig (main.cpp:1006,
     # slamtypes.h:225) but never read by any kernel or host code in

@@ -101,6 +101,21 @@ def binomial_birth_cardinality(n_births, birth_weight, max_cardinality,
 # Elementary symmetric functions (computeEsfKernel, .bak:1194-1278)
 # ----------------------------------------------------------------------------
 
+def _esf_scan_body(e, inp):
+    """One ESF recursion step e_k += lambda_m * e_{k-1} (log domain)."""
+    ll, m = inp
+    ll = jnp.where(m, ll, LOG0)
+    shifted = jnp.concatenate(
+        [jnp.full((1,), LOG0, dtype=e.dtype), e[:-1]])
+    e_new = jnp.logaddexp(e, ll + shifted)
+    return e_new, e_new
+
+
+def _esf_identity(M, dtype):
+    e0 = jnp.full((M + 1,), LOG0, dtype=dtype)
+    return e0.at[0].set(0.0)
+
+
 def log_esf(log_lambda, lam_mask):
     """Log-domain ESF coefficients e_0..e_M of {exp(log_lambda[m])}.
 
@@ -109,36 +124,42 @@ def log_esf(log_lambda, lam_mask):
     measurements contribute lambda = 0 (identity step).
     """
     M = log_lambda.shape[-1]
-    dtype = log_lambda.dtype
-    e0 = jnp.full((M + 1,), LOG0, dtype=dtype)
-    e0 = e0.at[0].set(0.0)
-
-    def body(e, inp):
-        ll, m = inp
-        ll = jnp.where(m, ll, LOG0)
-        shifted = jnp.concatenate([jnp.full((1,), LOG0, dtype=dtype), e[:-1]])
-        e_new = jnp.logaddexp(e, ll + shifted)
-        return e_new, None
-
-    e, _ = jax.lax.scan(body, e0, (log_lambda, lam_mask))
+    e0 = _esf_identity(M, log_lambda.dtype)
+    e, _ = jax.lax.scan(_esf_scan_body, e0, (log_lambda, lam_mask))
     return e
 
 
 def log_esf_omit(log_lambda, lam_mask):
     """ESF with each measurement omitted: esfd[m, k] = e_k({lambda_n : n!=m}).
 
-    The reference's esfd pass (.bak:1249-1277) re-runs the recursion per
-    omitted measurement; we vmap that over m. (Its subtraction form computes
-    the same magnitudes — signs alternate consistently, so |.| matches the
-    additive recursion.)
+    Prefix/suffix decomposition: esfd[m] is the log-domain polynomial
+    product of ESF({0..m-1}) and ESF({m+1..M-1}) — two M-step scans plus
+    one fully PARALLEL masked-logsumexp contraction. The reference's esfd
+    pass (.bak:1249-1277) instead subtracts the omitted root back out of
+    the full ESF per measurement; our round-2 form re-ran the additive
+    recursion per omitted m (a vmapped scan with [P, M, M+1] state —
+    measured 48.5 ms at P=10240, the post-psi1d CPHD frontier). This form
+    keeps the recursion's numerical stability (additions only, unlike the
+    reference's cancellation-prone subtraction) at O(M^2) parallel lanes.
     """
     M = log_lambda.shape[-1]
+    dtype = log_lambda.dtype
+    e0 = _esf_identity(M, dtype)
+    _, pref_raw = jax.lax.scan(_esf_scan_body, e0, (log_lambda, lam_mask))
+    # pref[m] = ESF({0..m-1}) (excludes m); suf[m] = ESF({m+1..M-1})
+    pref = jnp.concatenate([e0[None], pref_raw[:-1]], axis=0)   # [M, M+1]
+    _, suf_raw = jax.lax.scan(_esf_scan_body, e0, (log_lambda, lam_mask),
+                              reverse=True)
+    suf = jnp.concatenate([suf_raw[1:], e0[None]], axis=0)      # [M, M+1]
 
-    def omit_one(m):
-        mask = lam_mask & (jnp.arange(M) != m)
-        return log_esf(log_lambda, mask)[:-1]          # e_0..e_{M-1}
-
-    return jax.vmap(omit_one)(jnp.arange(M))           # [M, M]
+    # esfd[m, k] = logsum_i pref[m, i] + suf[m, k - i],  k in 0..M-1
+    i = jnp.arange(M + 1)
+    k = jnp.arange(M)
+    j = k[:, None] - i[None, :]                                 # [M, M+1]
+    valid = j >= 0
+    jc = jnp.clip(j, 0, M)
+    terms = pref[:, None, :] + suf[:, jc]                       # [M, M, M+1]
+    return masked_logsumexp(terms, valid[None], axis=-1)        # [M, M]
 
 
 # ----------------------------------------------------------------------------

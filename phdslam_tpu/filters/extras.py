@@ -200,10 +200,39 @@ def eval_gm(gm_mean, gm_cov, gm_weight, x):
     return jnp.sum(jnp.where(gm_weight > 0, val, 0.0))
 
 
+def single_feature_dlogw_point(max_like, x_star, m_valid,
+                               pred_mean, pred_cov, pred_w,
+                               upd_mean, upd_cov, upd_w, cfg: SlamConfig):
+    """Scheme-2 weight increment from the located argmax point
+    (phdfilter.cu:3599-3661, the part after the max-likelihood search):
+    evaluate the predicted and merged-updated GMs at ``x_star`` and scale
+    by the single-feature RB factor.
+
+    ``max_like``: the max single-object likelihood (linear); ``x_star``
+    [D]: its updated mean; ``m_valid``: count of measurements with at
+    least one geometrically valid detection lane.
+    """
+    cn_predict = jnp.sum(pred_w)
+    cn_update = jnp.sum(upd_w)
+    v_predict = eval_gm(pred_mean, pred_cov, pred_w, x_star)
+    v_update = eval_gm(upd_mean, upd_cov, upd_w, x_star)
+
+    cd = cfg.clutter_density
+    a = (1.0 - cfg.pd) * cd * m_valid \
+        + cfg.pd * m_valid * ((m_valid - 1.0) * cd * max_like)
+    b = jnp.exp(cn_update - cn_predict - cfg.clutter_rate)
+    factor = (a * v_predict) / jnp.maximum(b * v_update, 1e-30)
+    return safe_log(factor)
+
+
 def single_feature_dlogw(log_like, mean_det, det_valid,
                          pred_mean, pred_cov, pred_w,
                          upd_mean, upd_cov, upd_w, cfg: SlamConfig):
-    """Scheme-2 weight increment for one particle (phdfilter.cu:3599-3661).
+    """Scheme-2 weight increment for one particle (phdfilter.cu:3599-3661),
+    grid form: the argmax search runs over the FULL [M, K] single-object
+    likelihood grid (the slow path's materialization; the fast path finds
+    the argmax on its selected lanes and calls
+    :func:`single_feature_dlogw_point` directly).
 
     log_like[M, K]: single-object log likelihoods from the pre-update;
     mean_det[M, K, D]: updated means; pred_*: predicted map; upd_*: merged
@@ -214,15 +243,6 @@ def single_feature_dlogw(log_like, mean_det, det_valid,
     flat = jnp.argmax(ll)
     max_like = jnp.exp(jnp.max(ll))
     x_star = mean_det.reshape(-1, mean_det.shape[-1])[flat]
-
-    cn_predict = jnp.sum(pred_w)
-    cn_update = jnp.sum(upd_w)
-    v_predict = eval_gm(pred_mean, pred_cov, pred_w, x_star)
-    v_update = eval_gm(upd_mean, upd_cov, upd_w, x_star)
-
-    cd = cfg.clutter_density
-    a = (1.0 - cfg.pd) * cd * M \
-        + cfg.pd * M * ((M - 1.0) * cd * max_like)
-    b = jnp.exp(cn_update - cn_predict - cfg.clutter_rate)
-    factor = (a * v_predict) / jnp.maximum(b * v_update, 1e-30)
-    return safe_log(factor)
+    return single_feature_dlogw_point(
+        max_like, x_star, M, pred_mean, pred_cov, pred_w,
+        upd_mean, upd_cov, upd_w, cfg)

@@ -122,10 +122,10 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
     out_m = (cls == measurement.OUT_OF_RANGE) & (weight > 0)
 
     # slow path: full candidate materialization (needed when downstream
-    # consumers want the whole [K + M*K + M] lane grid — MC variance
-    # estimation and the scheme-2 reweighting's mean_det/log_like grids)
-    slow = (cfg.compute_variance and key is not None) \
-        or cfg.particle_weighting == 2 or force_full
+    # consumers want the whole [K + M*K + M] lane grid — only the MC
+    # variance estimator; scheme-2 reweighting runs on the fast path's
+    # selected lanes since round 3)
+    slow = (cfg.compute_variance and key is not None) or force_full
     cap = cfg.merge_candidate_cap
     # the fast path needs an active compaction cap (it selects `cap` lanes)
     use_fast = (not slow) and 0 < cap < (K + M * K + M)
@@ -272,6 +272,26 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
             idx, cand_w, sel_act, n_drop = topcap_sort(
                 red_w, red_act, red_flat, cap)
             n_compact = n_drop + n_extra
+            if cfg.particle_weighting == 2:
+                # scheme-2 argmax over the SELECTED lanes: like = pdw /
+                # (pd * w), pd == cfg.pd on every live lane (pdw > 0 =>
+                # in FOV). The reference searches the full grid
+                # (phdfilter.cu:3599-3625); restricting to the top-T
+                # detection set only misses the argmax when a heavier
+                # single-object likelihood hides in a sub-top-T pdw lane.
+                w_k = jnp.take(weight, idx_d)                    # [M, T]
+                like = jnp.where(
+                    vals_d > 0,
+                    vals_d / jnp.maximum(cfg.pd * w_k, 1e-30), 0.0)
+                fl = jnp.argmax(like.reshape(-1))
+                s2 = dict(
+                    max_like=like.reshape(-1)[fl],
+                    x_star=ekf.ekf_detection_means_at(
+                        pre, mean, z, (fl // T)[None],
+                        idx_d.reshape(-1)[fl][None])[0],
+                    m_valid=n_valid_z * jnp.any(in_m).astype(dtype))
+            else:
+                s2 = None
         else:
             w_det_full = pdw / norm[:, None]
             act_b_full = det_valid & (w_det_full >= min_fw)
@@ -281,6 +301,19 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
                 [act_a, act_b_full.reshape(M * K), act_c], axis=0)
             idx, cand_w, sel_act, n_compact = topk_compact_indices(
                 cand_w, cand_act, cap)
+            if cfg.particle_weighting == 2:
+                like_g = jnp.where(
+                    det_valid & (weight[None, :] > 0),
+                    pdw / jnp.maximum(cfg.pd * weight[None, :], 1e-30),
+                    0.0)
+                fl = jnp.argmax(like_g.reshape(-1))
+                s2 = dict(
+                    max_like=like_g.reshape(-1)[fl],
+                    x_star=ekf.ekf_detection_means_at(
+                        pre, mean, z, (fl // K)[None], (fl % K)[None])[0],
+                    m_valid=n_valid_z * jnp.any(in_m).astype(dtype))
+            else:
+                s2 = None
         # the row gather itself is DEFERRED: _batched_update runs it at
         # batch level on the Pallas one-hot gather kernel (under XLA-only
         # vmap the one-hot operand materializes at [P, cap, K] — 2.7 GB /
@@ -293,7 +326,7 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
                       sel_act=sel_act, cand_w=cand_w, t_k=t_k, t_m=t_m)
         pre_out = dict(cand=None, gather=gather, dlog_w=dlog_w, out_m=out_m,
                        n_compact=n_compact, variance=None, log_like=None,
-                       mean_det=None, det_valid=None)
+                       mean_det=None, det_valid=None, s2=s2)
         return pre_out
     else:
         cand_mean = jnp.concatenate(
@@ -333,7 +366,7 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
                    variance=variance,
                    log_like=log_like if keep_grids else None,
                    mean_det=mean_det if keep_grids else None,
-                   det_valid=det_valid if keep_grids else None)
+                   det_valid=det_valid if keep_grids else None, s2=None)
     return pre_out
 
 
@@ -429,11 +462,21 @@ def _update_single_post(mg, pre_out, mean, cov, weight, cfg: SlamConfig):
 
     if cfg.particle_weighting == 2:
         # RB single-feature weighting runs on the post-merge map
-        # (phdfilter.cu:3599-3661)
-        from .extras import single_feature_dlogw
-        dlog_w = single_feature_dlogw(
-            pre_out["log_like"], pre_out["mean_det"], pre_out["det_valid"],
-            mean, cov, weight, new_mean, new_cov, new_w, cfg)
+        # (phdfilter.cu:3599-3661); the fast path located the argmax on
+        # its selected lanes (pre_out["s2"]), the slow path searches the
+        # full grids here
+        if pre_out.get("s2") is not None:
+            from .extras import single_feature_dlogw_point
+            s2 = pre_out["s2"]
+            dlog_w = single_feature_dlogw_point(
+                s2["max_like"], s2["x_star"], s2["m_valid"],
+                mean, cov, weight, new_mean, new_cov, new_w, cfg)
+        else:
+            from .extras import single_feature_dlogw
+            dlog_w = single_feature_dlogw(
+                pre_out["log_like"], pre_out["mean_det"],
+                pre_out["det_valid"],
+                mean, cov, weight, new_mean, new_cov, new_w, cfg)
 
     if pre_out["variance"] is not None:
         return new_mean, new_cov, new_w, dlog_w, overflow, \
@@ -485,8 +528,7 @@ def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
     M = z.shape[0]
     T = cfg.detection_topk
     cap = cfg.merge_candidate_cap
-    slow = (cfg.compute_variance and keys is not None) \
-        or cfg.particle_weighting == 2
+    slow = cfg.compute_variance and keys is not None
     use_fast = (not slow) and 0 < cap < (K + M * K + M)
     det = None
     if use_fast and 0 < T < K and cfg.pallas_detect:

@@ -85,3 +85,54 @@ def test_stage2_cap_drops_lowest_weight():
     # retained maps still carry most of the uncapped total weight
     frac = float(jnp.sum(out_c[2])) / max(float(jnp.sum(out_f[2])), 1e-9)
     assert frac > 0.85
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_scheme2_fast_matches_slow(seed):
+    """Scheme-2 (single-feature RB) on the fast path: the argmax
+    single-object likelihood located on the selected top-T lanes + two GM
+    point evaluations must reproduce the slow path's full-grid search
+    (phdfilter.cu:3599-3661) whenever selection is lossless (T >= live
+    lanes per measurement)."""
+    cfg = make_cfg(detection_topk=8, particle_weighting=2,
+                   max_features=16, merge_candidate_cap=64)
+    cfg0 = make_cfg(detection_topk=8, particle_weighting=2,
+                    max_features=16, merge_candidate_cap=0)  # slow full grid
+
+    rng = np.random.default_rng(seed)
+    P, K, M = 4, 16, 8
+    pose = np.zeros((P, 6), np.float32)
+    pose[:, :2] = rng.normal(0, 0.2, (P, 2))
+    # a SHARED landmark field (+ small per-particle jitter): measurements
+    # generated below must be explained by every particle's map
+    mean = (rng.uniform(-8, 8, (1, K, 2))
+            + rng.normal(0, 0.05, (P, K, 2))).astype(np.float32)
+    A = rng.normal(0, 0.3, (P, K, 2, 2)).astype(np.float32)
+    cov = A @ A.transpose(0, 1, 3, 2) + 0.05 * np.eye(2, dtype=np.float32)
+    # <= T live features so the top-T set contains every valid lane
+    w = np.where(np.arange(K)[None, :] < 5,
+                 rng.uniform(0.3, 1.0, (P, K)), 0.0).astype(np.float32)
+    # measurements AT live feature positions (relative to the origin-ish
+    # poses): every measurement's argmax likelihood sits far above the
+    # min_feature_weight threshold, so the top-T set provably contains
+    # the slow path's full-grid argmax (the lossless regime under test)
+    sites = mean[0, :5]
+    rr = np.linalg.norm(sites, axis=1)
+    bb = np.arctan2(sites[:, 1], sites[:, 0])
+    z = np.zeros((M, 2), np.float32)
+    z[:5, 0] = rr + rng.normal(0, 0.05, 5)
+    z[:5, 1] = bb + rng.normal(0, 0.01, 5)
+    zm = np.arange(M) < 5
+    args = (jnp.asarray(pose), jnp.asarray(mean), jnp.asarray(cov),
+            jnp.asarray(w), jnp.asarray(z), jnp.asarray(zm))
+
+    out_fast = _batched_update(*args, cfg)
+    out_slow = _batched_update(*args, cfg0)
+    # dlog_w (index 3) is the scheme-2 output under test
+    np.testing.assert_allclose(np.asarray(out_fast[3]),
+                               np.asarray(out_slow[3]),
+                               rtol=1e-4, atol=1e-4)
+    # maps agree too (lossless selection)
+    np.testing.assert_allclose(np.asarray(out_fast[2]),
+                               np.asarray(out_slow[2]),
+                               rtol=1e-4, atol=1e-4)
