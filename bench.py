@@ -1,23 +1,73 @@
-"""Headline benchmark: filter steps/s on the canonical Ackerman sequence.
+"""Headline benchmark + scale matrix: filter steps/s across configurations.
 
-Runs the full Rao-Blackwellized GM-PHD SLAM filter (predict + GM-PHD update +
-extraction + resampling) over the synthetic Ackerman dataset
+Headline: the full Rao-Blackwellized GM-PHD SLAM filter (predict + GM-PHD
+update + extraction + resampling) over the synthetic Ackerman dataset
 (/root/reference/matlab/measurements_synth_ackerman.txt protocol, 331
-measurement steps + 999 controls interleaved by timestamp) at the reference's
-default particle count (512, main.cpp:991).
+measurement steps + 999 controls interleaved by timestamp) at the
+reference's default particle count (512, main.cpp:991), best-of-3.
+
+The matrix pins every scale claim BENCH.md makes (round-2 verdict item:
+a regression at scale must not sail through the driver artifact green):
+P=10240 chunked, dense P=1024/K=1024 (BASELINE >=1k-component target),
+CPHD P=512 and P=10240, mixed jump-Markov P=512 — single timed run each
+(warm .jax_cache), best-of-3 on the headline only.
 
 Baseline: the reference publishes no numbers (BASELINE.md); its implied
 target is real-time operation at the dataset rate dt=0.1 s -> 10 filter
 steps/s. ``vs_baseline`` is the measured multiple of that real-time rate.
 
-Prints ONE JSON line.
+Prints ONE JSON line (headline metric keys + a ``matrix`` dict).
 """
 
 import json
 import sys
 import time
 
-import numpy as np
+
+def _timed_runner(make_runner, run_once, reps):
+    """Best-of-``reps`` wall time; one extra warm run for compile/caches."""
+    run_once(make_runner())
+    best = None
+    for _ in range(reps):
+        r = make_runner()
+        t0 = time.perf_counter()
+        run_once(r)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _row(cfg_path, data_dir, particles, runner, reps, chunk=64,
+         overrides=None):
+    from phdslam_tpu.config import load_config
+    from phdslam_tpu.slam import SynthSLAMRunner
+
+    cfg = load_config(cfg_path)
+    cfg.n_particles = particles
+    for k, v in (overrides or {}).items():
+        setattr(cfg, k, v)
+
+    def make():
+        return SynthSLAMRunner(cfg, data_dir)
+
+    n_steps = len(make().schedule)
+    if runner == "scanned":
+        wall = _timed_runner(make,
+                             lambda r: r.run_scanned(collect_maps=False),
+                             reps)
+    else:
+        wall = _timed_runner(
+            make, lambda r: r.run_chunked(chunk=chunk, collect_maps=False),
+            reps)
+    return round(n_steps / wall, 2)
+
+
+def _mixed_row():
+    import os
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import bench_mixed
+    return round(bench_mixed.bench(512, 128, 32, 100, fast=1, reps=1), 2)
 
 
 def main():
@@ -32,47 +82,48 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    from phdslam_tpu.config import load_config
-    from phdslam_tpu.slam import SynthSLAMRunner
+    ack = "cfg/ackerman.cfg"
+    cphd = "cfg/ackerman_cphd.cfg"
+    matrix = {}
 
-    cfg = load_config("cfg/ackerman.cfg")
-    cfg.n_particles = 512
-
-    def fresh_runner():
-        return SynthSLAMRunner(cfg, "data/ackerman")
-
-    runner = fresh_runner()
-    n_steps = len(runner.schedule)
-
-    def timed(run_once, reps=3):
-        # best-of-3: throughput over the axon tunnel swings +-15% run to
-        # run (relay scheduling); a single timed run under-reports by up
-        # to 33% (round-1 driver artifact vs the best-of-3 anchor)
-        run_once(fresh_runner())          # compile + warm caches
-        best = None
-        for _ in range(reps):
-            r = fresh_runner()
-            t0 = time.perf_counter()
-            run_once(r)
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        return best
-
+    # headline: P=512 scanned, best-of-3 (throughput over the axon tunnel
+    # swings +-15% run to run; a single timed run under-reports by up to
+    # 33% — round-1 driver artifact vs the best-of-3 anchor)
     try:
-        wall = timed(lambda r: r.run_scanned(collect_maps=False))
+        headline = _row(ack, "data/ackerman", 512, "scanned", reps=3)
         mode = "scanned"
     except Exception as e:  # pragma: no cover - TPU runtime fallback
         print(f"scanned path failed ({type(e).__name__}: {e}); "
-              "falling back to async per-step", file=sys.stderr)
-        wall = timed(lambda r: r.run())
-        mode = "async"
+              "falling back to chunked", file=sys.stderr)
+        headline = _row(ack, "data/ackerman", 512, "chunked", reps=3)
+        mode = "chunked"
+    matrix["ackerman_512p"] = headline
 
-    steps_per_s = n_steps / wall
+    rows = [
+        ("ackerman_10240p", lambda: _row(ack, "data/ackerman", 10240,
+                                         "chunked", reps=1, chunk=16)),
+        ("dense_1024p_1024k", lambda: _row("cfg/dense.cfg", "data/dense",
+                                           1024, "chunked", reps=1)),
+        ("cphd_512p", lambda: _row(cphd, "data/ackerman", 512,
+                                   "chunked", reps=1)),
+        ("cphd_10240p", lambda: _row(cphd, "data/ackerman", 10240,
+                                     "chunked", reps=1, chunk=16)),
+        ("mixed_512p", _mixed_row),
+    ]
+    for name, fn in rows:
+        try:
+            matrix[name] = fn()
+        except Exception as e:  # pragma: no cover
+            print(f"{name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            matrix[name] = None
+
     print(json.dumps({
         "metric": f"ackerman_512p_filter_steps_per_s_{mode}",
-        "value": round(steps_per_s, 2),
+        "value": headline,
         "unit": "steps/s",
-        "vs_baseline": round(steps_per_s / 10.0, 3),
+        "vs_baseline": round(headline / 10.0, 3),
+        "matrix": matrix,
     }))
 
 

@@ -100,7 +100,9 @@ def main(argv=None):
     with ctx:
         if args.run_type == "disparity":
             from .slam_disparity import run_disparity
-            res = run_disparity(cfg, out_dir=out_dir)
+            res = run_disparity(
+                cfg, out_dir=out_dir, timing=args.timing,
+                chunk=(args.chunk if args.runner == "chunked" else 0))
         elif args.profile:
             from .runtime.checkpoint import profile_single_update
             res = profile_single_update(cfg, args.profile)

@@ -77,25 +77,40 @@ def evaluate_dataset(cfg_path: str, repo_root: str = ".",
     }
 
 
-def evaluate_mixed(n_landmarks: int = 30, n_movers: int = 2,
-                   n_steps: int = 100, dt: float = 0.15, seed: int = 0,
-                   n_particles: int = 256, ospa_c: float = 5.0):
-    """End-to-end accuracy of the mixed (jump-Markov) model on a world with
-    BOTH static landmarks and moving targets — a configuration the
-    reference implements (phdUpdateKernelMixed, phdfilter.cu:2323-2635) but
-    ships no dataset for.
+_MIXED_SCAN_CACHE: dict = {}
 
-    CV vehicle (controls-free), unlabeled range-bearing measurements of
-    landmarks + constant-velocity movers. Scores the final static-map OSPA
-    vs the landmarks and the final dynamic-map positions vs the movers'
-    final true positions.
-    """
-    import jax
-    import jax.numpy as jnp
 
+def _mixed_cfg(n_particles, seed, **overrides):
     from ..config import SlamConfig
-    from ..filters.phd import make_step_fn
-    from ..types import init_state
+    base = dict(
+        n_particles=n_particles, max_features=24, max_measurements=32,
+        motion_type=0, feature_model=2, filter_type=0,
+        vx0=1.5, vyaw0=0.2, ax=0.3, ayaw=0.03,
+        max_range=12.0, std_range=0.5,
+        std_bearing=0.02, clutter_rate=5.0, pd=0.95,
+        min_separation=2.0, resample_threshold=0.5,
+        # cluster-process weighting (scheme 0): without odometry the pose
+        # is anchored ONLY by the particle weights, and scheme 1 (Vo
+        # empty-map, a cardinality-balance heuristic) is nearly flat across
+        # particles here (nEff stays ~0.9, no resampling signal, the pose
+        # random-walks 20-40 m); scheme 0 sums the log normalizers — the
+        # actual measurement likelihood — and tracks at the 0.1 m level.
+        particle_weighting=0, tau=0.2, cov_vx_birth=0.25, cov_vy_birth=0.25,
+        # round-3 MC-swept dynamic-birth tuning (tools/mc_mixed.py):
+        # birth_weight 0.02 keeps fresh clutter births in the dynamic map
+        # below the min_expected_feature_weight extraction threshold
+        # (bw/(cd+bw) ~ 0.23 < 0.33); the near-zero CV process noise stops
+        # tracked movers' velocity estimates from diffusing between
+        # detections. Together: dynamic OSPA 4.4 -> 2.8-3.3.
+        birth_weight=0.02, std_ax_map=0.01, std_ay_map=0.01, seed=seed)
+    base.update(overrides)
+    return SlamConfig(**base)
+
+
+def _mixed_world(n_landmarks, n_movers, n_steps, dt, seed, max_meas):
+    """Generate one mixed world + the full measurement schedule up front
+    (host): landmarks, CV-loop trajectory, movers on constant-velocity
+    tracks, unlabeled noisy measurements of both per step."""
     from . import simdata
 
     rng = np.random.default_rng(seed)
@@ -110,67 +125,228 @@ def evaluate_mixed(n_landmarks: int = 30, n_movers: int = 2,
     movers = rng.uniform(-8.0, 8.0, size=(n_movers, 2))
     mover_v = rng.uniform(-0.5, 0.5, size=(n_movers, 2))
 
-    cfg = SlamConfig(
-        n_particles=n_particles, max_features=24, max_measurements=32,
-        motion_type=0, feature_model=2, filter_type=0,
-        vx0=1.5, vyaw0=0.2, ax=0.3, ayaw=0.03,
-        max_range=sp.max_range, std_range=sp.std_range,
-        std_bearing=sp.std_bearing, clutter_rate=sp.clutter_rate, pd=sp.pd,
-        birth_weight=0.05, min_separation=2.0, resample_threshold=0.5,
-        # cluster-process weighting (scheme 0): without odometry the pose
-        # is anchored ONLY by the particle weights, and scheme 1 (Vo
-        # empty-map, a cardinality-balance heuristic) is nearly flat across
-        # particles here (nEff stays ~0.9, no resampling signal, the pose
-        # random-walks 20-40 m); scheme 0 sums the log normalizers — the
-        # actual measurement likelihood — and tracks at the 0.1 m level.
-        particle_weighting=0, tau=0.2, cov_vx_birth=0.25, cov_vy_birth=0.25,
-        std_ax_map=0.05, std_ay_map=0.05, seed=seed)
-
-    step = make_step_fn(cfg, donate=False)
-    state = init_state(cfg)
-    ctrl = jnp.zeros((2,), jnp.float32)
+    z_all = np.zeros((n_steps, max_meas, 2), np.float32)
+    mask_all = np.zeros((n_steps, max_meas), bool)
     mv = movers.copy()
+    vel = mover_v.copy()
+    mv_hist = np.zeros((n_steps, len(movers), 2))
     for n in range(n_steps):
+        mv_hist[n] = mv
         targets = np.vstack([landmarks, mv])
         zs = simdata.noisy_measurements(traj[n], targets, sp, rng)
-        z = np.zeros((cfg.max_measurements, 2), np.float32)
-        mask = np.zeros((cfg.max_measurements,), bool)
-        m = min(len(zs), cfg.max_measurements)
-        z[:m] = zs[:m]
-        mask[:m] = True
-        state, out = step(state, jnp.asarray(z), jnp.asarray(mask), ctrl,
-                          jnp.float32(dt), jnp.asarray(n > 0))
+        m = min(len(zs), max_meas)
+        z_all[n, :m] = zs[:m]
+        mask_all[n, :m] = True
         if n < n_steps - 1:         # keep mv at the last-measured positions
-            mv = mv + mover_v * dt
+            mv = mv + vel * dt
+            # reflect off the +-8.5 field boundary: a mover drifting out of
+            # the landmark field leaves the vehicle's sensor range for the
+            # rest of the run, making the final-map score meaningless
+            # (round-3 finding: unbounded CV movers exited by step ~16-40
+            # in 2 of 4 worlds)
+            for ax in range(2):
+                hi = mv[:, ax] > 8.5
+                lo = mv[:, ax] < -8.5
+                vel[hi | lo, ax] *= -1.0
+                mv[hi, ax] = 17.0 - mv[hi, ax]
+                mv[lo, ax] = -17.0 - mv[lo, ax]
 
-    est_pose_err = float(np.linalg.norm(
-        np.asarray(out.expected_pose)[:2] - traj[-1, :2]))
+    seen = np.zeros(len(landmarks), bool)
+    for t in range(n_steps):
+        seen |= np.linalg.norm(landmarks - traj[t, :2], axis=1) \
+            <= sp.max_range
+    return dict(landmarks=landmarks, traj=traj, movers_final=mv,
+                mover_v=vel, mv_hist=mv_hist, seen=seen,
+                z_all=z_all, mask_all=mask_all)
+
+
+def _mixed_scan_fn(cfg):
+    """Jitted whole-sequence mixed-filter scan, cached per config shape so
+    MC campaigns trace once (the round-1 re-tracing lesson, slam.py)."""
+    import dataclasses
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..filters.phd import phd_step
+
+    # `seed` only enters init_state (the rng key is a traced ARGUMENT via
+    # state.rng), so exclude it from the cache key — an MC campaign must
+    # reuse ONE traced program across its fresh-seed runs (a per-seed key
+    # recompiled every run: ~2 min/run over the axon tunnel)
+    key = tuple((f.name, getattr(cfg, f.name))
+                for f in dataclasses.fields(cfg) if f.name != "seed")
+    fn = _MIXED_SCAN_CACHE.get(key)
+    if fn is None:
+        step = functools.partial(phd_step, cfg=cfg)
+        ctrl = jnp.zeros((2,), jnp.float32)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def fn(state, z_all, mask_all, dt):
+            def body(st, inp):
+                z, zm, n = inp
+                st, out = step(st, z, zm, ctrl, dt, n > 0)
+                return st, (out.expected_pose, out.n_eff)
+            T = z_all.shape[0]
+            return jax.lax.scan(
+                body, state, (z_all, mask_all, jnp.arange(T)))
+        _MIXED_SCAN_CACHE[key] = fn
+    return fn
+
+
+def evaluate_mixed(n_landmarks: int = 30, n_movers: int = 2,
+                   n_steps: int = 100, dt: float = 0.15, seed: int = 0,
+                   n_particles: int = 256, ospa_c: float = 5.0,
+                   cfg_overrides: Optional[dict] = None):
+    """End-to-end accuracy of the mixed (jump-Markov) model on a world with
+    BOTH static landmarks and moving targets — a configuration the
+    reference implements (phdUpdateKernelMixed, phdfilter.cu:2323-2635) but
+    ships no dataset for.
+
+    CV vehicle (controls-free), unlabeled range-bearing measurements of
+    landmarks + constant-velocity movers; the whole sequence runs as one
+    on-device scan (jit cached across calls — MC-campaign ready). Scores
+    the final static-map OSPA vs the landmarks, the final dynamic-map
+    positions vs the movers' final true positions, and the dynamic map's
+    VELOCITY error vs the movers' true velocities (matched by position).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..types import init_state
+
+    w = _mixed_world(n_landmarks, n_movers, n_steps, dt, seed, 32)
+    cfg = _mixed_cfg(n_particles, seed, **(cfg_overrides or {}))
+
+    run = _mixed_scan_fn(cfg)
+    state = init_state(cfg)
+    state, (ep, ne) = run(state, jnp.asarray(w["z_all"]),
+                          jnp.asarray(w["mask_all"]), jnp.float32(dt))
+    jax.block_until_ready(ne)
+    ep = np.asarray(ep)
+
+    traj = w["traj"]
+    pose_err = np.linalg.norm(ep[:, :2] - traj[:n_steps, :2], axis=1)
     best = int(np.argmax(np.asarray(state.log_weight)))
     s_w = np.asarray(state.map_static.weight[best])
     s_m = np.asarray(state.map_static.mean[best])
     est_static = extract_map_estimate(s_w, s_m)
-    # score vs landmarks ever within sensor range of the trajectory
-    seen = np.zeros(len(landmarks), bool)
-    for t in range(n_steps):
-        seen |= np.linalg.norm(landmarks - traj[t, :2], axis=1) <= sp.max_range
-    o_s, _, _ = ospa_distance(landmarks[seen], est_static, p=1, c=ospa_c)
+    o_s, _, _ = ospa_distance(w["landmarks"][w["seen"]], est_static,
+                              p=1, c=ospa_c)
 
     d_w = np.asarray(state.map_dynamic.weight[best])
-    d_m = np.asarray(state.map_dynamic.mean[best])[:, :2]
-    est_dyn = extract_map_estimate(d_w, d_m)
-    o_d, _, _ = ospa_distance(mv, est_dyn, p=1, c=ospa_c)
+    d_full = np.asarray(state.map_dynamic.mean[best])
+    # dynamic-target extraction thresholds at min_expected_feature_weight
+    # (the reference's expected-target threshold, slamtypes.h:169) instead
+    # of the static protocol's round(sum w): every scan's fresh CLUTTER
+    # births sit at birth_weight/(clutter_density+birth_weight) ~ 0.3 in
+    # the dynamic map, and with only ~2 true targets the round-sum
+    # cardinality is dominated by that transient (round-3 analysis; the
+    # static map's ~25 targets drown the same pollution)
+    thr = cfg.min_expected_feature_weight
+    est_dyn = d_full[d_w > thr][:, :2]
+    est_dyn_full = d_full[d_w > thr]
+    est_dyn_round = extract_map_estimate(d_w, d_full[:, :2])
+    # dynamic truth = movers within sensor range at the final step: the
+    # reference KILLS out-of-range dynamic features by design
+    # (phdfilter.cu:3714-3719), so targets that left the sensor footprint
+    # are definitionally absent from any conforming filter's dynamic map
+    vis = np.linalg.norm(w["movers_final"] - w["traj"][len(w["mv_hist"]) - 1,
+                                                       :2],
+                         axis=1) <= cfg.max_range
+    truth_dyn = w["movers_final"][vis]
+    if len(truth_dyn):
+        o_d, _, _ = ospa_distance(truth_dyn, est_dyn, p=1, c=ospa_c)
+        o_dr, _, _ = ospa_distance(truth_dyn, est_dyn_round, p=1, c=ospa_c)
+    else:
+        o_d = o_dr = float("nan")
+    # track-level stats over visible movers: detected = an estimate within
+    # 2 m; position error of detected tracks
+    det, perr = [], []
+    for mvp in truth_dyn:
+        if len(est_dyn):
+            dmin = float(np.min(np.linalg.norm(est_dyn - mvp, axis=1)))
+            det.append(dmin < 2.0)
+            if dmin < 2.0:
+                perr.append(dmin)
+        else:
+            det.append(False)
+
+    # velocity error of position-matched dynamic estimates
+    vel_errs = []
+    for i, mvp in enumerate(w["movers_final"]):
+        if not vis[i] or len(est_dyn_full) == 0:
+            continue
+        j = int(np.argmin(np.linalg.norm(est_dyn_full[:, :2] - mvp,
+                                         axis=1)))
+        if np.linalg.norm(est_dyn_full[j, :2] - mvp) < ospa_c:
+            vel_errs.append(np.linalg.norm(
+                est_dyn_full[j, 2:4] - w["mover_v"][i]))
     return {
         "static_ospa": float(o_s), "dynamic_ospa": float(o_d),
-        "n_static_true": int(seen.sum()), "n_static_est": len(est_static),
-        "n_dyn_est": len(est_dyn), "final_pose_err": est_pose_err,
-        "n_eff": float(out.n_eff),
+        "dynamic_ospa_round": float(o_dr),
+        "n_dyn_visible": int(vis.sum()),
+        "dyn_detected_frac": (float(np.mean(det)) if det
+                              else float("nan")),
+        "dyn_track_err": (float(np.mean(perr)) if perr else float("nan")),
+        "n_static_true": int(w["seen"].sum()),
+        "n_static_est": len(est_static),
+        "n_dyn_est": len(est_dyn),
+        "pose_err": pose_err,
+        "mean_pose_err": float(pose_err.mean()),
+        "final_pose_err": float(pose_err[-1]),
+        "vel_err": (float(np.mean(vel_errs)) if vel_errs else float("nan")),
+        "n_eff": float(np.asarray(ne)[-1]),
+    }
+
+
+def evaluate_mixed_mc(n_runs: int = 50, n_landmarks: int = 30,
+                      n_movers: int = 2, n_steps: int = 100,
+                      dt: float = 0.15, n_particles: int = 256,
+                      ospa_c: float = 5.0,
+                      cfg_overrides: Optional[dict] = None,
+                      verbose: bool = False):
+    """The reference's Monte-Carlo acceptance protocol
+    (python/batch_run.py + batch_analyze.py: 50-100 fresh noise/world
+    realizations, mean +- std of the per-run metrics) applied to the mixed
+    jump-Markov filter. One traced program serves all runs."""
+    rows = []
+    for s in range(n_runs):
+        r = evaluate_mixed(n_landmarks=n_landmarks, n_movers=n_movers,
+                           n_steps=n_steps, dt=dt, seed=s,
+                           n_particles=n_particles, ospa_c=ospa_c,
+                           cfg_overrides=cfg_overrides)
+        rows.append(r)
+        if verbose:
+            print(f"run {s}: pose {r['mean_pose_err']:.2f} "
+                  f"static {r['static_ospa']:.2f} "
+                  f"dyn {r['dynamic_ospa']:.2f} vel {r['vel_err']:.2f}",
+                  flush=True)
+
+    def agg(k):
+        v = np.asarray([r[k] for r in rows], np.float64)
+        v = v[np.isfinite(v)]
+        return (float(v.mean()), float(v.std())) if len(v) else \
+            (float("nan"), float("nan"))
+
+    return {
+        "n_runs": n_runs,
+        "pose": agg("mean_pose_err"),
+        "static_ospa": agg("static_ospa"),
+        "dynamic_ospa": agg("dynamic_ospa"),
+        "dyn_detected_frac": agg("dyn_detected_frac"),
+        "dyn_track_err": agg("dyn_track_err"),
+        "vel_err": agg("vel_err"),
+        "runs": rows,
     }
 
 
 def evaluate_disparity(cfg_path: str = "cfg/disparity.cfg",
                        n_landmarks: int = 25, n_steps: int = 60,
                        seed: int = 0, follow_trajectory: bool = True,
-                       ospa_c: float = 1.0, work_dir: Optional[str] = None):
+                       ospa_c: float = 1.0, work_dir: Optional[str] = None,
+                       cfg_overrides: Optional[dict] = None):
     """Mapping accuracy of the monocular SC-PHD pipeline.
 
     Generates a synthetic camera world (simdata.generate_disparity_world,
@@ -186,6 +362,8 @@ def evaluate_disparity(cfg_path: str = "cfg/disparity.cfg",
     from . import simdata
 
     cfg = load_config(cfg_path)
+    for k, v in (cfg_overrides or {}).items():
+        setattr(cfg, k, v)
     cfg.follow_trajectory = follow_trajectory
     cfg.n_steps = n_steps
 
@@ -221,11 +399,22 @@ def evaluate_disparity(cfg_path: str = "cfg/disparity.cfg",
     feat_w = np.asarray(st.feat_weight[best])
     est_map = extract_map_estimate(feat_w, feat_means)
     o, loc, cn = ospa_distance(landmarks[observed], est_map, p=1, c=ospa_c)
-    return {
+    out = {
         "ospa": float(o), "ospa_loc": float(loc), "ospa_cn": float(cn),
         "n_true": int(observed.sum()), "n_est": len(est_map),
         "steps_per_s": res["steps_per_s"], "n_eff": res["n_eff"],
     }
+    if not follow_trajectory:
+        # full-SLAM mode (the reference's primary disparity path,
+        # main.cpp:1347-1371: filtered camera pose from the jittered
+        # particle init): per-step camera position error vs the true
+        # trajectory
+        est = np.asarray(res["est_poses"])[:, :3]
+        err = np.linalg.norm(est - traj[:len(est), :3], axis=1)
+        out["pose_err"] = err
+        out["mean_pose_err"] = float(err.mean())
+        out["final_pose_err"] = float(err[-1])
+    return out
 
 
 if __name__ == "__main__":

@@ -26,18 +26,25 @@ except Exception:  # pragma: no cover
     _HAVE_ORBAX = False
 
 
-def save_checkpoint(path: str, state: Any, extra: Optional[dict] = None):
-    """Save a filter-state pytree (+ optional extras dict of arrays)."""
+def save_checkpoint(path: str, state: Any, extra: Optional[dict] = None,
+                    backend: Optional[str] = None):
+    """Save a filter-state pytree (+ optional extras dict of arrays).
+
+    ``backend="numpy"`` forces the plain npz+treedef layout — used when a
+    SINGLE process of a multi-process group saves an already-gathered host
+    state (orbax's multi-host save inserts its own cross-process sync
+    barriers, which deadlock/mismatch when only rank 0 calls it).
+    """
     path = os.path.abspath(path)
     payload = {"state": state}
     if extra:
         payload["extra"] = extra
-    if _HAVE_ORBAX:
+    if _HAVE_ORBAX and backend != "numpy":
         ckptr = ocp.StandardCheckpointer()
         host_payload = jax.tree.map(np.asarray, payload)
         ckptr.save(path, host_payload, force=True)
         ckptr.wait_until_finished()
-    else:  # pragma: no cover
+    else:
         leaves, treedef = jax.tree.flatten(payload)
         os.makedirs(path, exist_ok=True)
         np.savez(os.path.join(path, "leaves.npz"),
@@ -52,12 +59,22 @@ def load_checkpoint(path: str, like: Any, extra_like: Optional[dict] = None):
     ``like`` is a pytree with the same structure (e.g. a fresh init_state)
     used to restore types/shapes. When the checkpoint was saved with an
     ``extra`` dict, pass a matching ``extra_like`` and receive
-    ``(state, extra)`` instead of just the state.
+    ``(state, extra)`` instead of just the state. The on-disk layout
+    (orbax vs numpy) is auto-detected.
     """
     path = os.path.abspath(path)
     payload_like = {"state": like}
     if extra_like is not None:
         payload_like["extra"] = extra_like
+    if os.path.exists(os.path.join(path, "leaves.npz")):
+        with open(os.path.join(path, "treedef.pkl"), "rb") as fh:
+            treedef = pickle.load(fh)
+        data = np.load(os.path.join(path, "leaves.npz"))
+        leaves = [data[k] for k in data.files]
+        payload = jax.tree.unflatten(treedef, leaves)
+        if extra_like is not None:
+            return payload["state"], payload.get("extra")
+        return payload["state"]
     if _HAVE_ORBAX:
         ckptr = ocp.StandardCheckpointer()
         host_like = jax.tree.map(np.asarray, payload_like)

@@ -215,3 +215,18 @@ def write_particles_mat(path: str, state, cfg, map_estimate=None,
         data["map_estimate_mean"] = np.asarray(m)
         data["map_estimate_cov"] = np.asarray(c)
     sio.savemat(path, data)
+
+
+def write_disparity_particles_mat(path: str, state):
+    """Full disparity-particle dump as a .mat file — the reference's
+    per-step DEBUG writeParticlesMat call in the disparity loop
+    (main.cpp:1397-1400): camera poses, log weights, per-feature particle
+    clouds and feature weights."""
+    import scipy.io as sio
+    sio.savemat(path, {
+        "weights": np.asarray(state.log_weight),
+        "particles": np.asarray(state.cam_pose),
+        "resample_idx": np.asarray(state.resample_idx),
+        "clouds": np.asarray(state.cloud),
+        "feature_weights": np.asarray(state.feat_weight),
+    })

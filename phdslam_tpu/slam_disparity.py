@@ -42,16 +42,28 @@ def load_image_measurements(path: str) -> List[np.ndarray]:
 
 def run_disparity(cfg: SlamConfig, data_dir: Optional[str] = None,
                   out_dir: Optional[str] = None, verbose: bool = False,
-                  scanned: bool = True):
+                  scanned: bool = True, chunk: int = 0,
+                  timing: bool = False):
     """Run the SC-PHD filter over an image-measurement dataset.
 
     With ``cfg.follow_trajectory`` the camera poses are taken from
     ``traj.txt`` instead of being filtered — single-particle mapping-only
     mode (main.cpp:1335-1339, 1383-1387).
 
-    ``scanned`` runs the whole sequence as one on-device ``lax.scan``
-    (measured 11x the per-step host loop over the axon tunnel); pass False
-    for the step-by-step path (debugging / verbose).
+    Execution strategies (mirroring the synth driver):
+
+    * ``scanned`` (default): the whole sequence as one on-device
+      ``lax.scan`` (measured 11x the per-step host loop over the axon
+      tunnel).
+    * ``chunk > 0``: host loop over fixed-size on-device scans — keeps
+      each dispatch short (relay-timeout safe) at reference particle
+      scale (200-512, main.cpp:991 / cfg/config.cfg:141); records
+      chunk-granular wall times for loopTime.log.
+    * ``timing=True``: reference-faithful per-step loop — every step
+      blocks and records its TRUE wall clock into loopTime.log (the
+      disparity loop's gettimeofday timing, main.cpp:1433-1438), and
+      ``cfg.debug`` additionally dumps per-step particle ``.mat`` files
+      (the DEBUG writeParticlesMat call, main.cpp:1397-1400).
     """
     data_dir = data_dir or cfg.data_directory
     measurements = load_image_measurements(
@@ -74,38 +86,68 @@ def run_disparity(cfg: SlamConfig, data_dir: Optional[str] = None,
     z_dev = jnp.asarray(z)
     mask_dev = jnp.asarray(mask)
     T = len(measurements)
+    step_ms: list = []
+    chunk_ms: list = []
 
-    if scanned and not verbose:
+    if traj is not None:
+        traj_np = traj[np.minimum(np.arange(T), len(traj) - 1)]
+        traj_dev = jnp.asarray(traj_np, jnp.float32)
+    else:
+        traj_dev = jnp.zeros((T, 12), jnp.float32)
+    do_pred_np = (np.arange(T) > 0) & (traj is None)
+
+    if (scanned or chunk) and not verbose and not timing:
         import functools
 
         from .filters.disparity import disparity_step
 
-        if traj is not None:
-            traj_dev = jnp.asarray(
-                traj[np.minimum(np.arange(T), len(traj) - 1)], jnp.float32)
-        else:
-            traj_dev = jnp.zeros((T, 12), jnp.float32)
-        do_pred = jnp.asarray(
-            (np.arange(T) > 0) & (traj is None))
+        def body(carry, inp):
+            st, = carry
+            z_n, m_n, tr_n, dp = inp
+            if traj is not None:
+                st = st.replace(cam_pose=tr_n[None, :])
+            st, out = disparity_step(st, z_n, m_n,
+                                     jnp.float32(cfg.dt), dp, cfg=cfg)
+            return (st,), (out.expected_pose, out.n_eff)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def run_all(st, z_all, m_all, traj_all, dp_all):
-            def body(carry, inp):
-                st, = carry
-                z_n, m_n, tr_n, dp = inp
-                if traj is not None:
-                    st = st.replace(cam_pose=tr_n[None, :])
-                st, out = disparity_step(st, z_n, m_n,
-                                         jnp.float32(cfg.dt), dp, cfg=cfg)
-                return (st,), (out.expected_pose, out.n_eff)
+        def run_scan(st, z_all, m_all, traj_all, dp_all):
             (st,), ys = jax.lax.scan(
                 body, (st,), (z_all, m_all, traj_all, dp_all))
             return st, ys
 
-        t0 = time.perf_counter()
-        state, (ep, ne) = run_all(state, z_dev, mask_dev, traj_dev, do_pred)
-        jax.block_until_ready(ne)
-        wall = time.perf_counter() - t0
+        do_pred = jnp.asarray(do_pred_np)
+        if not chunk:
+            t0 = time.perf_counter()
+            state, (ep, ne) = run_scan(state, z_dev, mask_dev, traj_dev,
+                                       do_pred)
+            jax.block_until_ready(ne)
+            wall = time.perf_counter() - t0
+        else:
+            n_chunks = (T + chunk - 1) // chunk
+            Tp = n_chunks * chunk
+
+            def pad(x, val):
+                return jnp.concatenate(
+                    [x, jnp.full((Tp - T,) + x.shape[1:], val, x.dtype)])
+            z_p, m_p = pad(z_dev, 0.0), pad(mask_dev, False)
+            tr_p, dp_p = pad(traj_dev, 0.0), pad(do_pred, False)
+            t0 = time.perf_counter()
+            t_c = t0
+            eps, nes = [], []
+            for i in range(n_chunks):
+                sl = slice(i * chunk, (i + 1) * chunk)
+                state, (ep_i, ne_i) = run_scan(state, z_p[sl], m_p[sl],
+                                               tr_p[sl], dp_p[sl])
+                eps.append(ep_i)
+                nes.append(ne_i)
+                jax.block_until_ready(ne_i)
+                now = time.perf_counter()
+                chunk_ms.append((now - t_c) * 1000.0)
+                t_c = now
+            wall = time.perf_counter() - t0
+            ep = jnp.concatenate(eps)[:T]
+            ne = jnp.concatenate(nes)[:T]
         est_poses = np.asarray(ep)
         n_effs = np.asarray(ne)
         outs = [None] * T
@@ -114,6 +156,7 @@ def run_disparity(cfg: SlamConfig, data_dir: Optional[str] = None,
         t0 = time.perf_counter()
         outs = []
         for n in range(T):
+            t_step = time.perf_counter()
             if traj is not None:
                 # pose from the trajectory; skip prediction (main.cpp:1384)
                 state = state.replace(cam_pose=jnp.asarray(
@@ -122,6 +165,14 @@ def run_disparity(cfg: SlamConfig, data_dir: Optional[str] = None,
                               jnp.float32(cfg.dt),
                               jnp.asarray(n > 0 and traj is None))
             outs.append(out)
+            if timing:
+                jax.block_until_ready(out.n_eff)
+                step_ms.append((time.perf_counter() - t_step) * 1000.0)
+                if cfg.debug and out_dir:
+                    os.makedirs(out_dir, exist_ok=True)
+                    io.write_disparity_particles_mat(
+                        os.path.join(out_dir, f"particles{n:05d}.mat"),
+                        state)
             if verbose and n % 20 == 0:
                 print(f"step {n}/{len(measurements)} "
                       f"nEff={float(out.n_eff):.3f}")
@@ -132,9 +183,15 @@ def run_disparity(cfg: SlamConfig, data_dir: Optional[str] = None,
 
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
+        # loopTime.log: true per-step > chunk-granular > run average
+        if step_ms:
+            per = np.asarray(step_ms)
+        elif chunk_ms:
+            per = np.repeat(np.asarray(chunk_ms) / chunk, chunk)[:T]
+        else:
+            per = np.full((T,), wall * 1000.0 / max(1, T))
         with open(os.path.join(out_dir, "loopTime.log"), "w") as fh:
-            per_step = wall * 1000.0 / max(1, len(outs))
-            fh.write("\n".join("%g" % per_step for _ in outs) + "\n")
+            fh.write("\n".join("%g" % t for t in per) + "\n")
         np.savetxt(os.path.join(out_dir, "trajectory.txt"), est_poses)
 
     if np.isnan(n_effs).any():
@@ -145,6 +202,8 @@ def run_disparity(cfg: SlamConfig, data_dir: Optional[str] = None,
         "est_poses": est_poses,
         "n_eff": n_effs,
         "wall_s": wall,
-        "steps_per_s": len(outs) / wall,
+        "steps_per_s": T / wall,
+        "step_ms": np.asarray(step_ms) if step_ms else None,
+        "chunk_ms": np.asarray(chunk_ms) if chunk_ms else None,
         "final_state": state,
     }

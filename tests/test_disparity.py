@@ -135,3 +135,94 @@ def test_evaluate_disparity_mapping_accuracy():
     assert abs(r["n_est"] - r["n_true"]) <= 4, r
     assert r["ospa"] < 0.97, r
     assert np.isfinite(r["n_eff"]).all()
+
+
+def test_disparity_chunked_matches_scanned(tmp_path):
+    """The chunked disparity runner (host loop over fixed-size scans,
+    relay-safe at reference particle scale) reproduces the single-scan run
+    bit-for-bit (deterministic per-step keys), and writes chunk-granular
+    loopTime.log."""
+    import os
+
+    from phdslam_tpu.eval import simdata
+    from phdslam_tpu.slam_disparity import run_disparity
+
+    cfg = SlamConfig(
+        n_particles=8, max_features=16, max_measurements=16,
+        particles_per_feature=16, motion_type=0, filter_type=0,
+        pd=0.9, clutter_rate=2.0, birth_weight=0.05, min_separation=8.0,
+        fx=500.0, fy=500.0, u0=320.0, v0=240.0, image_width=640,
+        image_height=480, std_u=1.0, std_v=1.0, disparity_birth=100.0,
+        std_d_birth=30.0, vx0=0.25, dt=1.0, resample_threshold=0.25,
+        n_steps=12, seed=4)
+    _, traj, measurements = simdata.generate_disparity_world(
+        n_landmarks=8, n_steps=12, dt=1.0, seed=4, fx=500.0, fy=500.0,
+        u0=320.0, v0=240.0, width=640, height=480, std_uv=1.0, pd=0.9,
+        clutter_rate=2.0, vx=0.25)
+    data = tmp_path / "d"
+    data.mkdir()
+    simdata.write_disparity_run_dir(str(data), measurements)
+
+    import copy
+    out_s = str(tmp_path / "scan")
+    res_s = run_disparity(copy.deepcopy(cfg), data_dir=str(data),
+                          out_dir=out_s)
+    out_c = str(tmp_path / "chunk")
+    res_c = run_disparity(copy.deepcopy(cfg), data_dir=str(data),
+                          out_dir=out_c, chunk=4)
+    np.testing.assert_allclose(res_c["est_poses"], res_s["est_poses"],
+                               rtol=1e-6)
+    lt = np.loadtxt(os.path.join(out_c, "loopTime.log"))
+    assert len(lt) == 12
+    assert len(np.unique(lt)) > 1          # chunk-granular, not an average
+
+
+def test_disparity_timing_and_particle_mats(tmp_path):
+    """timing=True: TRUE per-step loopTime.log (the disparity loop's
+    gettimeofday timing, main.cpp:1433-1438); cfg.debug additionally dumps
+    per-step particle .mat files (DEBUG writeParticlesMat,
+    main.cpp:1397-1400)."""
+    import os
+
+    from phdslam_tpu.eval import simdata
+    from phdslam_tpu.slam_disparity import run_disparity
+
+    cfg = SlamConfig(
+        n_particles=4, max_features=8, max_measurements=16,
+        particles_per_feature=8, motion_type=0, filter_type=0,
+        pd=0.9, clutter_rate=2.0, birth_weight=0.05, min_separation=8.0,
+        fx=500.0, fy=500.0, u0=320.0, v0=240.0, image_width=640,
+        image_height=480, vx0=0.25, dt=1.0, n_steps=6, seed=4, debug=True)
+    _, _, measurements = simdata.generate_disparity_world(
+        n_landmarks=5, n_steps=6, dt=1.0, seed=4, fx=500.0, fy=500.0,
+        u0=320.0, v0=240.0, width=640, height=480, std_uv=1.0, pd=0.9,
+        clutter_rate=2.0, vx=0.25)
+    data = tmp_path / "d"
+    data.mkdir()
+    simdata.write_disparity_run_dir(str(data), measurements)
+
+    out = str(tmp_path / "run")
+    res = run_disparity(cfg, data_dir=str(data), out_dir=out, timing=True)
+    lt = np.loadtxt(os.path.join(out, "loopTime.log"))
+    assert len(lt) == 6 and len(np.unique(lt)) > 1
+    assert res["step_ms"] is not None
+    mats = [f for f in os.listdir(out) if f.endswith(".mat")]
+    assert len(mats) == 6
+    import scipy.io as sio
+    d = sio.loadmat(os.path.join(out, mats[0]))
+    assert d["clouds"].shape == (4, 8, 8, 3)
+
+
+def test_evaluate_disparity_filtered_pose():
+    """Full-SLAM disparity mode (the reference's primary path,
+    main.cpp:1347-1371): the filtered camera pose must track the true
+    trajectory — pose error bounded and finite."""
+    from phdslam_tpu.eval.parity import evaluate_disparity
+
+    r = evaluate_disparity(n_landmarks=15, n_steps=30, seed=1,
+                           follow_trajectory=False)
+    assert "mean_pose_err" in r
+    assert np.isfinite(r["pose_err"]).all()
+    # the camera only moves ~0.1 m/frame laterally; a healthy filter stays
+    # well under 1 m mean error on a 30-frame run
+    assert r["mean_pose_err"] < 1.0, r

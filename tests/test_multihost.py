@@ -17,13 +17,36 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.timeout(600)
-def test_two_process_parity():
+def _run_sim(*args, timeout=580):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "multihost_sim.py"),
-         "--nproc", "2", "--steps", "6"],
-        capture_output=True, text=True, timeout=580, cwd=REPO, env=env)
+         *args],
+        capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env)
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
     assert "PARITY" in r.stdout
+    return r.stdout
+
+
+@pytest.mark.timeout(600)
+def test_two_process_parity():
+    _run_sim("--nproc", "2", "--steps", "6")
+
+
+@pytest.mark.timeout(600)
+@pytest.mark.slow
+def test_four_process_parity():
+    """4 processes / 16 global devices, resampling (and hence the
+    cross-process map migration) forced every step — the round-2 manual
+    run, pinned (round-2 verdict weak #7)."""
+    _run_sim("--nproc", "4", "--steps", "6")
+
+
+@pytest.mark.timeout(600)
+@pytest.mark.slow
+def test_ckpt_resume_across_process_count():
+    """Save a sharded checkpoint from a 2-process run, resume it on 4
+    processes, and match the uninterrupted single-process trace — the
+    elasticity/preemption-recovery contract of the distributed runtime."""
+    _run_sim("--nproc", "4", "--steps", "6", "--ckpt-test")

@@ -75,6 +75,7 @@ def bench(P=512, K=128, M=32, T=100, fast=1, reps=3):
     label = "fast" if fast else "slow"
     print(f"mixed P={P} K={K} M={M} [{label}]: {T/best:.1f} steps/s "
           f"({best*1000/T:.2f} ms/step)", flush=True)
+    return T / best
 
 
 if __name__ == "__main__":

@@ -60,7 +60,20 @@ def _child(rank: int, nproc: int, port: int, steps: int, particles: int):
     ctrl = np.zeros((2,), np.float32)
 
     step = make_sharded_step_fn(cfg, mesh, donate=False)
-    state = init_sharded_state(cfg, mesh)
+    load_ckpt = os.environ.get("MH_LOAD_CKPT")
+    save_ckpt = os.environ.get("MH_SAVE_CKPT")
+    if load_ckpt:
+        # resume-across-process-count: every rank loads the replicated host
+        # checkpoint, shard_state carves out this mesh's shards (the
+        # global-value-on-every-process convention of parallel/sharding.py)
+        from phdslam_tpu.parallel import shard_state
+        from phdslam_tpu.runtime.checkpoint import load_checkpoint
+        from phdslam_tpu.types import init_state
+        host_state = load_checkpoint(load_ckpt, init_state(cfg))
+        host_state = jax.tree.map(np.asarray, host_state)
+        state = shard_state(mesh, host_state)
+    else:
+        state = init_sharded_state(cfg, mesh)
 
     import time
     steps = max(2, steps)  # need >=1 timed step after the warm-up step
@@ -73,11 +86,32 @@ def _child(rank: int, nproc: int, port: int, steps: int, particles: int):
             t0 = time.perf_counter()
         state, out = step(state, jnp.asarray(z), jnp.asarray(zm),
                           jnp.asarray(ctrl), jnp.float32(0.1),
-                          jnp.asarray(n > 0))
+                          jnp.asarray(n > 0 or load_ckpt is not None))
         poses.append(np.asarray(out.expected_pose)[:3].tolist())
         neffs.append(float(out.n_eff))
     jax.block_until_ready(out.n_eff)
     wall = time.perf_counter() - t0
+
+    if save_ckpt:
+        # all-gather the sharded state to replicated, read the local copy,
+        # save from rank 0 (orbax/numpy host checkpoint)
+        from jax.sharding import NamedSharding, PartitionSpec
+        repl = jax.jit(
+            lambda s: s,
+            out_shardings=jax.tree.map(
+                lambda _: NamedSharding(mesh, PartitionSpec()), state)
+        )(state)
+        host_state = jax.tree.map(
+            lambda x: np.asarray(x.addressable_data(0)), repl)
+        if rank == 0:
+            # numpy backend: orbax's multi-host save has internal sync
+            # barriers that mismatch when only rank 0 saves the
+            # already-gathered host state
+            from phdslam_tpu.runtime.checkpoint import save_checkpoint
+            save_checkpoint(save_ckpt, host_state, backend="numpy")
+        if nproc > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("ckpt_saved")
 
     if rank == 0:
         print("RESULT " + json.dumps({
@@ -90,7 +124,7 @@ def _child(rank: int, nproc: int, port: int, steps: int, particles: int):
 
 
 def _run_group(nproc: int, port: int, steps: int, particles: int,
-               timeout_s: float = 480.0) -> dict:
+               timeout_s: float = 480.0, extra_env: dict = None) -> dict:
     """Launch the rank processes and wait for ALL of them, polling so a
     crashed or hung rank is detected promptly and the whole group is killed
     (a dead rank leaves its peers blocked inside a Gloo collective forever).
@@ -99,8 +133,10 @@ def _run_group(nproc: int, port: int, steps: int, particles: int,
     import tempfile
     import time
 
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "MH_SAVE_CKPT", "MH_LOAD_CKPT")}
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(extra_env or {})
     procs, logs = [], []
     try:
         for r in range(nproc):
@@ -151,6 +187,11 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--particles", type=int, default=32)
     ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--ckpt-test", action="store_true",
+                    help="resume-across-process-count parity: run half the "
+                         "steps on 2 processes, checkpoint, resume on "
+                         "--nproc processes, compare the resumed trace "
+                         "against an uninterrupted 1-process run")
     args = ap.parse_args()
 
     if args.child:
@@ -163,6 +204,32 @@ def main():
         with socket.socket() as s:
             s.bind(("localhost", 0))
             return s.getsockname()[1]
+
+    if args.ckpt_test:
+        import numpy as np
+        import tempfile
+        s1 = max(2, args.steps // 2)
+        s2 = max(2, args.steps - s1)
+        with tempfile.TemporaryDirectory(prefix="mh_ckpt_") as tmp:
+            ckpt = os.path.join(tmp, "ck")
+            _run_group(2, free_port(), s1, args.particles,
+                       extra_env={"MH_SAVE_CKPT": ckpt})
+            resumed = _run_group(args.nproc, free_port(), s2,
+                                 args.particles,
+                                 extra_env={"MH_LOAD_CKPT": ckpt})
+            ref = _run_group(1, 0, s1 + s2, args.particles)
+        pose_err = float(np.max(np.abs(
+            np.asarray(resumed["poses"])
+            - np.asarray(ref["poses"])[s1:s1 + s2])))
+        parity = pose_err < 5e-4
+        print(f"2-proc ckpt -> {args.nproc}-proc resume vs uninterrupted "
+              f"1-proc: max pose diff {pose_err:.2e} -> "
+              f"{'PARITY' if parity else 'MISMATCH'}")
+        print(json.dumps({
+            "metric": "multiprocess_ckpt_resume_parity", "parity": parity,
+            "nproc": args.nproc, "pose_maxdiff": pose_err,
+        }))
+        sys.exit(0 if parity else 1)
 
     # nproc=1 skips jax.distributed entirely — no port needed; probe the
     # coordinator port right before the distributed group launches to keep

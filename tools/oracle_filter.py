@@ -230,8 +230,21 @@ def predict_cv(poses, cfg, rng, dt):
 
 
 def run_oracle(data_dir, cfg, n_particles, seed=0, max_steps=0,
-               verbose=True):
-    """main.cpp:1075-1322 loop: schedule, predict, update, resample."""
+               verbose=True, n_predict_particles=1, shotgun_mode="persist"):
+    """main.cpp:1075-1322 loop: schedule, predict, update, resample.
+
+    ``n_predict_particles`` > 1 enables particle shotgunning (prior
+    duplication with independent prediction noise, phdfilter.cu:1185-1238).
+    ``shotgun_mode``:
+      "persist"  — the reference's semantics: the expanded set persists
+                   until an nEff- or 5x-overflow-triggered resample
+                   contracts it back to ``n_particles``
+                   (main.cpp:1281-1297);
+      "contract" — the engine's static-shape semantics: forced systematic
+                   contraction P*k -> P at the END of every step
+                   (filters/phd.py::phd_step). This A/B isolates whether
+                   the forced per-step resampling costs accuracy.
+    """
     measurements = io.load_measurements(
         os.path.join(data_dir, "measurements.txt"))
     cpath = os.path.join(data_dir, "controls.txt")
@@ -258,17 +271,24 @@ def run_oracle(data_dir, cfg, n_particles, seed=0, max_steps=0,
     map_est = [None] * len(schedule)
     last_ctrl = np.zeros((2,))
     t0 = time.time()
+    k_shot = max(1, n_predict_particles)
     for n, plan in enumerate(schedule):
         if plan.c_idx >= 0:
             last_ctrl = controls[plan.c_idx]
         if plan.do_predict and n > 0:
+            if k_shot > 1:
+                # shotgun prior duplication (phdfilter.cu:1185-1238)
+                poses = np.repeat(poses, k_shot, axis=0)
+                log_w = np.repeat(log_w, k_shot) - np.log(k_shot)
+                maps = [tuple(a.copy() for a in m)
+                        for m in maps for _ in range(k_shot)]
             if cfg.motion_type == 1:
                 poses = predict_ackerman(poses, last_ctrl, cfg, rng, plan.dt)
             else:
                 poses = predict_cv(poses, cfg, rng, plan.dt)
         if plan.z_idx >= 0 and len(measurements[plan.z_idx]):
             Z = np.asarray(measurements[plan.z_idx], np.float64)
-            for p in range(P):
+            for p in range(len(poses)):
                 W, Mn, Cv = maps[p]
                 W2, M2, C2, dlw = oracle_update(poses[p], W, Mn, Cv, Z, cfg)
                 maps[p] = (W2, M2, C2)
@@ -279,12 +299,16 @@ def run_oracle(data_dir, cfg, n_particles, seed=0, max_steps=0,
         est_poses[n] = (wlin[:, None] * poses).sum(0)
         best = int(np.argmax(log_w))
         map_est[n] = maps[best]
-        # resample (main.cpp:1281-1297)
-        n_eff = 1.0 / np.sum(wlin * wlin) / P
-        if plan.z_idx >= 0 and n_eff <= cfg.resample_threshold:
+        # resample (main.cpp:1281-1297): nEff trigger, plus the 5x-target
+        # overflow trigger for the persisting shotgun set; "contract" mode
+        # forces the engine's end-of-step P*k -> P contraction instead
+        Pc = len(poses)
+        n_eff = 1.0 / np.sum(wlin * wlin) / Pc
+        force = (shotgun_mode == "contract" and Pc > P) or Pc > 5 * P
+        if force or (plan.z_idx >= 0 and n_eff <= cfg.resample_threshold):
             u = (rng.uniform() + np.arange(P)) / P
             anc = np.searchsorted(np.cumsum(wlin), u)
-            anc = np.clip(anc, 0, P - 1)
+            anc = np.clip(anc, 0, Pc - 1)
             poses = poses[anc]
             maps = [tuple(a.copy() for a in maps[a_i]) for a_i in anc]
             log_w = np.full((P,), -np.log(P))
@@ -302,11 +326,19 @@ def main():
     ap.add_argument("--steps", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ospa-every", type=int, default=10)
+    ap.add_argument("--shotgun", type=int, default=1,
+                    help="n_predict_particles (prior duplication factor)")
+    ap.add_argument("--shotgun-mode", default="persist",
+                    choices=["persist", "contract"],
+                    help="persist = reference semantics (expanded set "
+                         "lives until an nEff/5x resample); contract = "
+                         "the engine's forced per-step contraction")
     args = ap.parse_args()
 
     cfg = load_config(args.config)
-    est, map_est, schedule = run_oracle(args.data_dir, cfg, args.particles,
-                                        args.seed, args.steps)
+    est, map_est, schedule = run_oracle(
+        args.data_dir, cfg, args.particles, args.seed, args.steps,
+        n_predict_particles=args.shotgun, shotgun_mode=args.shotgun_mode)
     gt = np.load(os.path.join(args.data_dir, "groundtruth.npz"))
     traj, landmarks = gt["traj"], gt["landmarks"]
     # align estimate steps to trajectory steps (measurement steps only)
@@ -323,7 +355,9 @@ def main():
                                    axis=1) <= cfg.max_range
         o, _, _ = ospa_distance(landmarks[seen], est_map, p=1, c=5)
         ospas.append(o)
-    print(f"oracle {args.data_dir} P={args.particles}: "
+    tag = (f" shotgun k={args.shotgun} [{args.shotgun_mode}]"
+           if args.shotgun > 1 else "")
+    print(f"oracle {args.data_dir} P={args.particles}{tag}: "
           f"mean ATE {pe.mean():.3f} m, max {pe.max():.3f} m, "
           f"final {pe[-1]:.3f} m, OSPA(1,5) {np.mean(ospas):.2f} "
           f"(final {ospas[-1]:.2f})")

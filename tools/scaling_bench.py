@@ -63,24 +63,42 @@ def shape_bytes(shape_str):
     return n * DTYPE_BYTES.get(dt, 4)
 
 
-def main(n_dev=8, p_per_dev=128):
+def make_cfg(n_particles, K=128, M=64, cap=512, **kw):
     from phdslam_tpu.config import SlamConfig
-    from phdslam_tpu.parallel import (init_sharded_state, make_mesh,
-                                      make_sharded_step_fn)
-
-    cfg = SlamConfig(
-        n_particles=p_per_dev * n_dev, max_features=128, max_measurements=64,
+    base = dict(
+        n_particles=n_particles, max_features=K, max_measurements=M,
         motion_type=1, feature_model=0, filter_type=0,
         l=2.83, h=0.76, a=3.78, b=0.5, std_encoder=0.1, std_alpha=0.01,
         max_range=12.0, std_range=0.5, std_bearing=0.0349,
         clutter_rate=5.0, pd=0.95, birth_weight=0.05, min_separation=4.0,
-        resample_threshold=0.5, merge_candidate_cap=512, pallas_merge=0,
+        resample_threshold=0.5, merge_candidate_cap=cap, pallas_merge=0,
         seed=0)
+    base.update(kw)
+    return SlamConfig(**base)
+
+
+def main(n_dev=8, p_per_dev=128, cfg=None, execute=True):
+    from phdslam_tpu.parallel import (init_sharded_state, make_mesh,
+                                      make_sharded_step_fn)
+
+    if cfg is None:
+        cfg = make_cfg(p_per_dev * n_dev)
     P, K, M = cfg.n_particles, cfg.max_features, cfg.max_measurements
 
     mesh = make_mesh(n_dev)
     step = make_sharded_step_fn(cfg, mesh, donate=False)
-    state = init_sharded_state(cfg, mesh)
+    state = jax.eval_shape(
+        lambda: init_sharded_state(cfg, mesh)) if not execute else \
+        init_sharded_state(cfg, mesh)
+    if not execute:
+        # compile-only inventory at shapes too large to run on the CPU
+        # mesh (2 host cores): AOT-lower from shape structs
+        from phdslam_tpu.parallel.sharding import state_shardings
+        sh = state_shardings(mesh, state)
+        state = jax.tree.map(
+            lambda s, shard: jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                                  sharding=shard),
+            state, sh)
     z = jnp.zeros((M, 2), jnp.float32).at[:6].set(
         jnp.asarray(np.random.default_rng(0).uniform(
             [1, -3], [10, 3], (6, 2)), jnp.float32))
@@ -92,13 +110,16 @@ def main(n_dev=8, p_per_dev=128):
     compiled = lowered.compile()
     hlo = compiled.as_text()
 
-    # run it too — proof of execution on the 8-device mesh
-    st2, out = step(*args)
-    jax.block_until_ready(out.expected_pose)
-    assert np.isfinite(np.asarray(out.expected_pose)).all()
+    if execute:
+        # run it too — proof of execution on the 8-device mesh
+        st2, out = step(*args)
+        jax.block_until_ready(out.expected_pose)
+        assert np.isfinite(np.asarray(out.expected_pose)).all()
 
-    print(f"sharded step compiled + executed on {n_dev}-device mesh "
-          f"(P={P}, K={K}, M={M})\n")
+    print(f"sharded step compiled{' + executed' if execute else ''} on "
+          f"{n_dev}-device mesh (P={P}, K={K}, M={M}, "
+          f"cap={cfg.merge_candidate_cap}, "
+          f"map_estimate={cfg.map_estimate})\n")
 
     # split the module into computations and attribute collectives: ops in
     # a computation referenced by a `conditional(...)` only execute when
@@ -161,5 +182,65 @@ def main(n_dev=8, p_per_dev=128):
                       "value": int(coll_bytes), "unit": "bytes"}))
 
 
+def weak_scaling(p_per_dev=128, steps=8):
+    """1/2/4/8-device CPU-mesh wall clock at fixed per-device particle
+    count — a WEAK scaling signal only: every virtual device shares the
+    same host socket (2 cores here), so growth above 1x reflects host
+    contention, not ICI cost. Recorded because it bounds the sharded
+    step's software overhead; the collective inventory above is the
+    hardware-independent basis for the >=80% ICI efficiency expectation."""
+    import time
+
+    from phdslam_tpu.parallel import (init_sharded_state, make_mesh,
+                                      make_sharded_step_fn)
+    print(f"\nweak scaling (P/device = {p_per_dev}, {steps} steps, "
+          f"{os.cpu_count()} host cores):")
+    rows = {}
+    for n_dev in (1, 2, 4, 8):
+        cfg = make_cfg(p_per_dev * n_dev, K=64, M=16, cap=128)
+        mesh = make_mesh(n_dev)
+        step = make_sharded_step_fn(cfg, mesh, donate=False)
+        state = init_sharded_state(cfg, mesh)
+        M = cfg.max_measurements
+        z = jnp.zeros((M, 2), jnp.float32).at[:6].set(
+            jnp.asarray(np.random.default_rng(0).uniform(
+                [1, -3], [10, 3], (6, 2)), jnp.float32))
+        zm = jnp.arange(M) < 6
+        args = (z, zm, jnp.asarray([1.0, 0.05], jnp.float32),
+                jnp.float32(1.0), jnp.asarray(True))
+        state, out = step(state, *args)           # compile + warm
+        jax.block_until_ready(out.expected_pose)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, out = step(state, *args)
+        jax.block_until_ready(out.expected_pose)
+        ms = (time.perf_counter() - t0) * 1000.0 / steps
+        rows[n_dev] = ms
+        print(f"  {n_dev} devices (P={cfg.n_particles}): {ms:7.1f} ms/step "
+              f"({ms / rows[1]:.2f}x of 1-device)")
+    print(json.dumps({"metric": "weak_scaling_ms_per_step",
+                      "value": rows, "unit": "ms",
+                      "host_cores": os.cpu_count()}))
+
+
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dense", action="store_true",
+                    help="compile-only collective inventory at the dense "
+                         "BASELINE shape (P=10240, K=1024, M=96, cap=1536)")
+    ap.add_argument("--eap", action="store_true",
+                    help="with --dense: map_estimate=2 (EAP tree levels in "
+                         "the inventory)")
+    ap.add_argument("--weak", action="store_true",
+                    help="1/2/4/8-device weak-scaling wall clock")
+    args = ap.parse_args()
+    if args.dense:
+        cfg = make_cfg(10240, K=1024, M=96, cap=1536,
+                       map_estimate=(2 if args.eap else 1),
+                       detection_topk=48)
+        main(n_dev=8, cfg=cfg, execute=False)
+    elif args.weak:
+        weak_scaling()
+    else:
+        main()
