@@ -25,11 +25,19 @@ import time
 
 
 def _timed_runner(make_runner, run_once, reps):
-    """Best-of-``reps`` wall time; one extra warm run for compile/caches."""
+    """Best-of-``reps`` wall time; one extra warm run for compile/caches.
+
+    Every timed run gets a DISTINCT rng state: a re-run whose dispatches
+    are bit-identical to the warm run's can be served by relay-level
+    caching over the axon tunnel (measured 2.4x inflation on the CPHD
+    rows) — each rep must compute a genuinely different particle stream.
+    """
+    import jax
     run_once(make_runner())
     best = None
-    for _ in range(reps):
+    for rep in range(reps):
         r = make_runner()
+        r.state = r.state.replace(rng=jax.random.PRNGKey(1000 + rep))
         t0 = time.perf_counter()
         run_once(r)
         dt = time.perf_counter() - t0
@@ -102,8 +110,11 @@ def main():
     rows = [
         ("ackerman_10240p", lambda: _row(ack, "data/ackerman", 10240,
                                          "chunked", reps=1, chunk=16)),
+        # dense steps cost ~40 ms at P=1024 — keep each dispatch well
+        # under the relay timeout (a 64-step dense chunk hung the run)
         ("dense_1024p_1024k", lambda: _row("cfg/dense.cfg", "data/dense",
-                                           1024, "chunked", reps=1)),
+                                           1024, "chunked", reps=1,
+                                           chunk=16)),
         ("cphd_512p", lambda: _row(cphd, "data/ackerman", 512,
                                    "chunked", reps=1)),
         ("cphd_10240p", lambda: _row(cphd, "data/ackerman", 10240,

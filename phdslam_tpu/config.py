@@ -106,10 +106,11 @@ class SlamConfig:
     # (argmax single-object likelihood over the selected top-T lanes +
     # two GM point evaluations, phdfilter.cu:3599-3661); it only differs
     # from the reference's full-grid search when the argmax hides in a
-    # sub-top-T / sub-threshold pdw lane. CAPABILITY CLIFF (remaining):
-    # compute_variance=True still forces the slow full-grid path — fine
-    # at <=1k particles, unusable at 10k (filters/phd.py slow path).
-    # Schemes 0/1 are the benchmark path. (Scheme 2 scores ~50 m on
+    # sub-top-T / sub-threshold pdw lane. The MC variance estimator
+    # (compute_variance) likewise runs on the selected lanes for D=2
+    # fast-path configs (extras.mc_variance_packed); only non-2D /
+    # cap-disabled configs fall back to the full-grid slow path. Schemes
+    # 0/1 are the benchmark path. (Scheme 2 scores ~50 m on
     # multi-landmark datasets — inherent to the scheme, see
     # .claude/skills/verify.)
     particle_weighting: int = 1

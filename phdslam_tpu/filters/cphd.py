@@ -84,6 +84,27 @@ def cardinality_predict(log_cn, log_cn_birth):
     return masked_logsumexp(birth_term + log_cn[None, :], diff >= 0, axis=-1)
 
 
+def cardinality_predict_batch(log_cn, log_cn_birth):
+    """Batched cardinality convolution as a linear-domain Toeplitz MATMUL.
+
+    cn_pred = cn (x) cn_birth: subtract each particle's max, exp to linear,
+    one [P, C+1] x [C+1, C+1] dot against the shared birth Toeplitz matrix
+    (MXU), log back. Numerically equivalent to the per-particle logsumexp
+    in f32 — exp(x - max) underflows at the same ~-88 relative magnitude
+    where logsumexp terms vanish — at ~1/25 the cost: the elementwise form
+    builds [P, C+1, C+1] grids (measured 26 ms at P=10240, C=128; this
+    form ~1 ms).
+    """
+    C1 = log_cn.shape[-1]
+    mx = jnp.max(log_cn, axis=-1, keepdims=True)       # [P, 1]
+    lin = jnp.exp(log_cn - mx)                         # [P, C+1]
+    bmax = jnp.max(log_cn_birth)
+    diff = jnp.arange(C1)[None, :] - jnp.arange(C1)[:, None]   # T[j, n]
+    T = jnp.where(diff >= 0,
+                  jnp.exp(log_cn_birth[jnp.maximum(diff, 0)] - bmax), 0.0)
+    return safe_log(lin @ T) + mx + bmax
+
+
 def binomial_birth_cardinality(n_births, birth_weight, max_cardinality,
                                dtype=jnp.float32):
     """log B(k; n, p) with n = number of birth measurements, p = birthWeight
@@ -152,14 +173,21 @@ def log_esf_omit(log_lambda, lam_mask):
                               reverse=True)
     suf = jnp.concatenate([suf_raw[1:], e0[None]], axis=0)      # [M, M+1]
 
-    # esfd[m, k] = logsum_i pref[m, i] + suf[m, k - i],  k in 0..M-1
-    i = jnp.arange(M + 1)
-    k = jnp.arange(M)
-    j = k[:, None] - i[None, :]                                 # [M, M+1]
-    valid = j >= 0
-    jc = jnp.clip(j, 0, M)
-    terms = pref[:, None, :] + suf[:, jc]                       # [M, M, M+1]
-    return masked_logsumexp(terms, valid[None], axis=-1)        # [M, M]
+    # esfd[m, k] = logsum_i pref[m, i] + suf[m, k - i],  k in 0..M-1 —
+    # computed as a max-subtracted LINEAR convolution (one shifted-suffix
+    # build + one batched matvec) instead of a masked logsumexp over the
+    # [M, M, M+1] sum tensor (~6 elementwise passes; measured 19.6 ms at
+    # P=10240 vs ~7 for this form). exp(x - max) underflows at the same
+    # ~-88 relative magnitude where logsumexp terms vanish — f32
+    # equivalent.
+    pmax = jnp.max(pref, axis=-1, keepdims=True)                # [M, 1]
+    smax = jnp.max(suf, axis=-1, keepdims=True)
+    pl = jnp.exp(pref - pmax)
+    sl = jnp.exp(suf - smax)
+    ki = jnp.arange(M)[:, None] - jnp.arange(M + 1)[None, :]    # [k, i]
+    shifted = jnp.where(ki >= 0, sl[:, jnp.clip(ki, 0, M)], 0.0)
+    esfd_lin = jnp.einsum("mki,mi->mk", shifted, pl)            # [M, M]
+    return safe_log(esfd_lin) + pmax + smax
 
 
 # ----------------------------------------------------------------------------
@@ -492,16 +520,31 @@ def add_births(gm: GMState, pose, z, z_mask, cfg: SlamConfig,
     b_mean = jnp.where(z_mask[None, :, None], b_mean, 0.0)
     b_cov = jnp.where(z_mask[None, :, None, None], b_cov, eye)
 
-    all_mean = jnp.concatenate([gm.mean, b_mean], axis=1)
-    all_cov = jnp.concatenate([gm.cov, b_cov], axis=1)
     all_w = jnp.concatenate([gm.weight, b_w], axis=1)
-
-    _, order = jax.lax.top_k(all_w, K)
-    take = lambda x, o: jnp.take_along_axis(
-        x, o.reshape(o.shape + (1,) * (x.ndim - 2)), axis=1)
-    new_mean = take(all_mean, order)
-    new_cov = take(all_cov, order)
-    new_w = jnp.take_along_axis(all_w, order, axis=1)
+    # top-K compaction via ONE variadic payload sort carrying the
+    # D + D(D+1)/2 SoA planes: batched take_along_axis of the [P, K+M,
+    # D, D] rows measured 78 ms at P=10240 (the gather-serialization
+    # lesson, BENCH.md); the sort network over K+M lanes is ~3 ms. Stable
+    # descending sort ties by original index like lax.top_k.
+    planes = []
+    for d in range(D):
+        planes.append(jnp.concatenate([gm.mean[..., d], b_mean[..., d]],
+                                      axis=1))
+    for a in range(D):
+        for b in range(a, D):
+            planes.append(jnp.concatenate([gm.cov[..., a, b],
+                                           b_cov[..., a, b]], axis=1))
+    out = jax.lax.sort((-all_w,) + tuple(planes), num_keys=1, dimension=-1)
+    new_w = jnp.maximum(-out[0][:, :K], 0.0)
+    mean_pl = [p[:, :K] for p in out[1:1 + D]]
+    new_mean = jnp.stack(mean_pl, axis=-1)
+    full = [[None] * D for _ in range(D)]
+    i = 1 + D
+    for a in range(D):
+        for b in range(a, D):
+            full[a][b] = full[b][a] = out[i][:, :K]
+            i += 1
+    new_cov = jnp.stack([jnp.stack(row, axis=-1) for row in full], axis=-2)
     empty = new_w <= 0
     new_cov = jnp.where(empty[:, :, None, None], eye, new_cov)
     new_mean = jnp.where(empty[:, :, None], 0.0, new_mean)
@@ -596,7 +639,7 @@ def cphd_update(state: FilterState, z, z_mask, consts, cfg: SlamConfig):
         n_births = jnp.sum(z_mask.astype(jnp.int32))
         cn_birth = binomial_birth_cardinality(
             n_births, cfg.birth_weight, cfg.max_cardinality, log_cn.dtype)
-        log_cn = jax.vmap(lambda c: cardinality_predict(c, cn_birth))(log_cn)
+        log_cn = cardinality_predict_batch(log_cn, cn_birth)
 
     state = state.replace(map_static=new_gm, log_weight=log_w,
                           cardinality=log_cn)

@@ -192,6 +192,40 @@ def mc_variance_candidates(mean, cov, weight, n_nondetect, n_samples, key):
     return total / n_samples
 
 
+def mc_variance_packed(packed, is_nd, n_samples, key):
+    """Batch MC variance over the fast path's SELECTED candidate lanes
+    (packed SoA planes [P, 7, N]: w, act, mean0, mean1, c00, c01, c11 —
+    the D=2 layout of filters/phd._finish_candidates_packed).
+
+    Same estimator as :func:`mc_variance_candidates` (phdVarianceKernel,
+    phdfilter.cu:2643-2705) restricted to the top-cap selected lanes —
+    the sub-threshold tail it omits carries negligible weight by
+    construction. Exactness trick: a point sampled as x = m + L eps and
+    evaluated under the SAME Gaussian has Mahalanobis distance
+    (L eps)' (L L')^{-1} (L eps) = |eps|^2, so neither the Cholesky nor
+    the inverse is ever formed — only det for the normalizer.
+
+    ``is_nd`` [P, N]: persistent (non-detection) lanes contribute ``val``,
+    detection/birth lanes ``val * (1 - val)``. Returns [P].
+    """
+    w = packed[:, 0]
+    live = (packed[:, 1] > 0.5) & (w > 0)
+    c00, c01, c11 = packed[:, 4], packed[:, 5], packed[:, 6]
+    det = jnp.maximum(c00 * c11 - c01 * c01, 1e-30)
+    pref = w / (2.0 * jnp.pi * jnp.sqrt(det))          # w * N(m; m, P)
+
+    def body(s, acc):
+        eps = jax.random.normal(jax.random.fold_in(key, s),
+                                (2,) + w.shape, w.dtype)
+        val = pref * jnp.exp(-0.5 * (eps[0] ** 2 + eps[1] ** 2))
+        contrib = jnp.where(is_nd, val, val * (1.0 - val))
+        return acc + jnp.sum(jnp.where(live, contrib, 0.0), axis=-1)
+
+    total = jax.lax.fori_loop(0, n_samples, body,
+                              jnp.zeros(w.shape[0], w.dtype))
+    return total / n_samples
+
+
 def eval_gm(gm_mean, gm_cov, gm_weight, x):
     """v(x) = sum_j w_j N(x; m_j, P_j), linear domain (evalGaussianMixture —
     without its +0.5 exponent sign bug, device_math.cuh:153-179)."""

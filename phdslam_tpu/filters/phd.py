@@ -528,7 +528,10 @@ def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
     M = z.shape[0]
     T = cfg.detection_topk
     cap = cfg.merge_candidate_cap
-    slow = cfg.compute_variance and keys is not None
+    with_var = cfg.compute_variance and keys is not None
+    # the packed-plane variance estimator covers the D=2 fast path; other
+    # shapes fall back to the per-particle full-grid estimator
+    slow = with_var and not (0 < cap < (K + M * K + M) and D == 2)
     use_fast = (not slow) and 0 < cap < (K + M * K + M)
     det = None
     if use_fast and 0 < T < K and cfg.pallas_detect:
@@ -545,7 +548,7 @@ def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
                 float(cfg.clutter_density + cfg.birth_weight),
                 interpret=interp)
 
-    if keys is not None:
+    if slow:
         pre = jax.vmap(lambda p, m, c, w, k: _update_single_pre(
             p, m, c, w, z, z_mask, cfg, k))(pose, mean, cov, weight, keys)
     elif det is not None:
@@ -569,11 +572,13 @@ def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
         # kept in packed SoA planes end-to-end — [P, cap, D]-shaped
         # intermediates pad 32-64x under (8, 128) tiling
         mg = None
-        if D == 2:
+        if D == 2 and not with_var:
             # fully fused route: the merge kernel's prologue gathers and
             # combines the candidates in VMEM (ops/pallas_merge.py
             # _merge_tables_kernel) — the packed planes and two extra
-            # kernel launches disappear
+            # kernel launches disappear. (with_var needs the packed planes
+            # for the batch variance estimator, so it takes the 2-kernel
+            # route.)
             from ..ops.gm_merge import merge_batch_dispatch_tables
             mg = merge_batch_dispatch_tables(pre["gather"], cfg, K,
                                              sorted_prefix=sorted_prefix)
@@ -581,15 +586,26 @@ def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
             packed = _finish_candidates_packed(pre, D, batched=True)
             mg = merge_batch_dispatch_packed(packed, D, cfg, K,
                                              sorted_prefix=sorted_prefix)
+        if with_var and not slow:
+            # fast-path MC variance over the SELECTED lanes (the reference
+            # runs phdVarianceKernel on the full pre-merge candidate
+            # array, :3585-3597; the top-cap tail it misses is
+            # sub-threshold weight by construction)
+            from .extras import mc_variance_packed
+            variance = mc_variance_packed(
+                packed, pre["gather"]["is_p"], cfg.n_samples, keys[0])
     else:
         cm, cc, cw, ca = pre["cand"]
         mg = merge_batch_dispatch(cm, cc, cw, ca, cfg, K,
                                   sorted_prefix=sorted_prefix)
 
-    return jax.vmap(
+    out = jax.vmap(
         lambda mg_t, pre_t, m, c, w: _update_single_post(mg_t, pre_t, m, c,
                                                          w, cfg)
     )(mg, pre, mean, cov, weight)
+    if with_var and not slow:
+        return out + (variance,)
+    return out
 
 
 def update(state: FilterState, z, z_mask, cfg: SlamConfig, key=None):

@@ -20,6 +20,20 @@ from .config import SlamConfig
 from .filters.disparity import init_disparity_state, make_disparity_step_fn
 from .runtime import io
 
+# traced whole-sequence programs cached across runs (same lesson as
+# slam.py._SCAN_CACHE: per-call re-tracing costs seconds of host time and
+# pollutes throughput measurements)
+_DSCAN_CACHE: dict = {}
+
+
+def _cfg_key(cfg: SlamConfig):
+    import dataclasses
+    # seed excluded: it only enters init_disparity_state (the rng is a
+    # traced argument), so one traced program serves fresh-seed reruns
+    return tuple(
+        (f.name, getattr(cfg, f.name)) for f in dataclasses.fields(cfg)
+        if f.name != "seed")
+
 
 def load_image_measurements(path: str) -> List[np.ndarray]:
     """One time step per line; pairs of (u, v) (loadMeasurements
@@ -101,20 +115,28 @@ def run_disparity(cfg: SlamConfig, data_dir: Optional[str] = None,
 
         from .filters.disparity import disparity_step
 
-        def body(carry, inp):
-            st, = carry
-            z_n, m_n, tr_n, dp = inp
-            if traj is not None:
-                st = st.replace(cam_pose=tr_n[None, :])
-            st, out = disparity_step(st, z_n, m_n,
-                                     jnp.float32(cfg.dt), dp, cfg=cfg)
-            return (st,), (out.expected_pose, out.n_eff)
+        ck = (_cfg_key(cfg), traj is not None, z_dev.shape,
+              chunk if chunk else T)
+        run_scan = _DSCAN_CACHE.get(ck)
+        if run_scan is None:
+            follow = traj is not None
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def run_scan(st, z_all, m_all, traj_all, dp_all):
-            (st,), ys = jax.lax.scan(
-                body, (st,), (z_all, m_all, traj_all, dp_all))
-            return st, ys
+            def body(carry, inp):
+                st, = carry
+                z_n, m_n, tr_n, dp = inp
+                if follow:
+                    st = st.replace(cam_pose=tr_n[None, :])
+                st, out = disparity_step(st, z_n, m_n,
+                                         jnp.float32(cfg.dt), dp, cfg=cfg)
+                return (st,), (out.expected_pose, out.n_eff)
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def run_scan(st, z_all, m_all, traj_all, dp_all):
+                (st,), ys = jax.lax.scan(
+                    body, (st,), (z_all, m_all, traj_all, dp_all))
+                return st, ys
+
+            _DSCAN_CACHE[ck] = run_scan
 
         do_pred = jnp.asarray(do_pred_np)
         if not chunk:

@@ -298,3 +298,24 @@ def test_gated_births_suppress_compatible_measurements():
     # must differ from the ungated one
     assert not np.allclose(np.asarray(st_g.cardinality),
                            np.asarray(st_u.cardinality), atol=1e-6)
+
+
+def test_cardinality_predict_batch_matches_per_particle():
+    """The linear-domain Toeplitz-matmul convolution (MXU form) equals the
+    per-particle log-domain logsumexp convolution."""
+    import jax
+
+    from phdslam_tpu.filters.cphd import cardinality_predict_batch
+
+    rng = np.random.default_rng(3)
+    P, C1 = 16, 33
+    # spread over many magnitudes incl. deeply-negative log probabilities
+    log_cn = jnp.asarray(rng.uniform(-60, 0, (P, C1)), jnp.float32)
+    log_birth = jnp.asarray(rng.uniform(-40, 0, C1), jnp.float32)
+    a = jax.vmap(lambda c: cardinality_predict(c, log_birth))(log_cn)
+    b = cardinality_predict_batch(log_cn, log_birth)
+    am, bm = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    # compare in probability space (log values below the f32 underflow
+    # horizon differ representationally but are identically ~0 mass)
+    np.testing.assert_allclose(np.exp(bm - bm.max()),
+                               np.exp(am - am.max()), atol=1e-5)

@@ -136,3 +136,49 @@ def test_scheme2_fast_matches_slow(seed):
     np.testing.assert_allclose(np.asarray(out_fast[2]),
                                np.asarray(out_slow[2]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fast_variance_matches_slow():
+    """compute_variance on the fast path (packed-plane MC over selected
+    lanes, extras.mc_variance_packed) converges to the slow full-grid
+    estimator's value when selection is lossless: both estimate
+    sum_j E[val_j] / E[val_j(1-val_j)] over the same component set; with
+    enough samples the MC noise shrinks below a loose tolerance."""
+    import jax
+
+    cfg = make_cfg(detection_topk=8, merge_candidate_cap=64,
+                   max_features=16, compute_variance=True, n_samples=4096)
+    cfg0 = make_cfg(detection_topk=8, merge_candidate_cap=0,
+                    max_features=16, compute_variance=True, n_samples=4096)
+
+    rng = np.random.default_rng(7)
+    P, K, M = 4, 16, 8
+    pose = np.zeros((P, 6), np.float32)
+    mean = (rng.uniform(-8, 8, (1, K, 2))
+            + rng.normal(0, 0.05, (P, K, 2))).astype(np.float32)
+    A = rng.normal(0, 0.3, (P, K, 2, 2)).astype(np.float32)
+    cov = A @ A.transpose(0, 1, 3, 2) + 0.05 * np.eye(2, dtype=np.float32)
+    w = np.where(np.arange(K)[None, :] < 5,
+                 rng.uniform(0.3, 1.0, (P, K)), 0.0).astype(np.float32)
+    sites = mean[0, :5]
+    rr = np.linalg.norm(sites, axis=1)
+    bb = np.arctan2(sites[:, 1], sites[:, 0])
+    z = np.zeros((M, 2), np.float32)
+    z[:5, 0] = rr
+    z[:5, 1] = bb
+    zm = np.arange(M) < 5
+    keys = jax.random.split(jax.random.PRNGKey(0), P)
+    args = (jnp.asarray(pose), jnp.asarray(mean), jnp.asarray(cov),
+            jnp.asarray(w), jnp.asarray(z), jnp.asarray(zm))
+
+    out_fast = _batched_update(*args, cfg, keys=keys)
+    out_slow = _batched_update(*args, cfg0, keys=keys)
+    assert len(out_fast) == 6 and len(out_slow) == 6
+    vf = np.asarray(out_fast[5])
+    vs = np.asarray(out_slow[5])
+    assert np.isfinite(vf).all()
+    # NB val*(1-val) detection terms go NEGATIVE when val = w*N(x) > 1
+    # (tight post-update covariances) — sign is data-dependent, only the
+    # two estimators' agreement is under test. Independent MC draws:
+    # compare expectations, not samples.
+    np.testing.assert_allclose(vf, vs, rtol=0.2)

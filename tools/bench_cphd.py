@@ -27,10 +27,13 @@ def main():
         cfg.n_particles = P
         chunk = 64 if P <= 2048 else 16
         r = SynthSLAMRunner(cfg, "data/ackerman")
-        res = r.run_chunked(chunk=chunk, collect_maps=False)  # warm
-        best = res["steps_per_s"]
-        for _ in range(2 if P <= 2048 else 1):
+        r.run_chunked(chunk=chunk, collect_maps=False)  # warm/compile
+        best = 0.0
+        for rep in range(3):
+            # distinct rng per rep: identical re-runs can be served by
+            # relay-level caching (measured 2.4x inflation — BENCH.md)
             r = SynthSLAMRunner(cfg, "data/ackerman")
+            r.state = r.state.replace(rng=jax.random.PRNGKey(1000 + rep))
             res = r.run_chunked(chunk=chunk, collect_maps=False)
             best = max(best, res["steps_per_s"])
         print(f"CPHD P={P}: {best:.2f} steps/s "

@@ -45,11 +45,18 @@ def throughput(particles_list=(32, 200, 512), n_steps=60):
             cfg.n_particles = P
             cfg.n_steps = n_steps
             chunk = 20 if P >= 200 else 0
-            res = run_disparity(cfg, data_dir=tmp, chunk=chunk)  # warm
-            best = res["steps_per_s"]
-            cfg2 = copy.deepcopy(cfg)
-            res = run_disparity(cfg2, data_dir=tmp, chunk=chunk)
-            best = max(best, res["steps_per_s"])
+            run_disparity(copy.deepcopy(cfg), data_dir=tmp,
+                          chunk=chunk)                # warm/compile
+            best = 0.0
+            for rep in range(3):
+                # distinct seed per rep: identical re-runs can be served
+                # by relay-level caching (BENCH.md); the traced program is
+                # shared across seeds (seed excluded from the scan cache
+                # key — it only enters init_disparity_state)
+                cfg2 = copy.deepcopy(cfg)
+                cfg2.seed = 1000 + rep
+                res = run_disparity(cfg2, data_dir=tmp, chunk=chunk)
+                best = max(best, res["steps_per_s"])
             print(f"disparity P={P} (K={cfg.max_features}, "
                   f"N={cfg.particles_per_feature}): {best:.1f} steps/s",
                   flush=True)

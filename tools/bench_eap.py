@@ -77,8 +77,9 @@ def full_run(variants=((1, 1), (2, 1), (2, 5))):
         r = SynthSLAMRunner(cfg, "data/dense")
         r.run_chunked(chunk=10, collect_maps=False)         # warm/compile
         best = 0.0
-        for _ in range(3):
+        for rep in range(3):
             r = SynthSLAMRunner(cfg, "data/dense")
+            r.state = r.state.replace(rng=jax.random.PRNGKey(1000 + rep))
             res = r.run_chunked(chunk=10, collect_maps=False)
             best = max(best, res["steps_per_s"])
         tag = "MAP" if me == 1 else f"EAP eap_every={ee}"

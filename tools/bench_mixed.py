@@ -65,8 +65,10 @@ def bench(P=512, K=128, M=32, T=100, fast=1, reps=3):
     st, ne = run_all(state)                      # compile + warm
     jax.block_until_ready(ne)
     best = None
-    for _ in range(reps):
+    for rep in range(reps):
         st2 = init_state(cfg)
+        # distinct rng per rep (identical re-runs relay-cache — BENCH.md)
+        st2 = st2.replace(rng=jax.random.PRNGKey(1000 + rep))
         t0 = time.perf_counter()
         st2, ne = run_all(st2)
         jax.block_until_ready(ne)
