@@ -213,6 +213,19 @@ class SlamConfig:
     # OFF by default; kept as a pinned-equivalent variant
     # (tests/test_pallas_merge.py).
     fused_gather_merge: int = 0
+    # Same-source candidate pre-consolidation (ops/gm_merge.py
+    # consolidate_packed): before the sequential greedy merge, collapse —
+    # fully in parallel across all source segments — each feature's
+    # persistent + M detection copies (and nothing else) onto the
+    # segment's heaviest lane when within min_separation of it, exactly
+    # the moment match the greedy loop would perform. The merge then runs
+    # on ~live-features lanes instead of ~cap lanes (its per-cluster cost
+    # is proportional to the lane width it scans — BENCH.md dense
+    # roofline). Deviates from strict sequential-greedy order only when a
+    # DIFFERENT feature's heavier candidate lies within min_separation
+    # (it would have claimed some copies first); measured ATE/OSPA-neutral
+    # (tools/ab_consolidate.py). 0 = off, 1 = on.
+    premerge_consolidate: int = 0
     # Fused detection+top-T Pallas kernel (ops/pallas_detect.py): 0 = off
     # (XLA grid + payload sort), 1 = auto (Mosaic kernel on TPU backends),
     # 2 = force interpret mode (CPU testing). Only engages on the fast

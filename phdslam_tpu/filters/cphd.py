@@ -177,9 +177,17 @@ def log_esf_omit(log_lambda, lam_mask):
     # computed as a max-subtracted LINEAR convolution (one shifted-suffix
     # build + one batched matvec) instead of a masked logsumexp over the
     # [M, M, M+1] sum tensor (~6 elementwise passes; measured 19.6 ms at
-    # P=10240 vs ~7 for this form). exp(x - max) underflows at the same
-    # ~-88 relative magnitude where logsumexp terms vanish — f32
-    # equivalent.
+    # P=10240 vs ~7 for this form).
+    #
+    # Numerical caveat (advisor, round 3): the max is shared PER ROW (one
+    # pmax+smax per m), not per output order k. An output k whose dominant
+    # term pref[i]+suf[k-i] sits more than ~88 nats below pmax[m]+smax[m]
+    # underflows to LOG0 here where a per-output logsumexp would stay
+    # finite. Equivalence is therefore per dominant row term; outputs that
+    # far down are ~e^-88 RELATIVE to the row's peak ESF order, and psi1d's
+    # inner products (which weight esfd by comparably-scaled factors and
+    # sum over k) are insensitive to them — pinned by
+    # tests/test_cphd.py::test_log_esf_omit_wide_dynamic_range.
     pmax = jnp.max(pref, axis=-1, keepdims=True)                # [M, 1]
     smax = jnp.max(suf, axis=-1, keepdims=True)
     pl = jnp.exp(pref - pmax)

@@ -589,8 +589,14 @@ def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
         if with_var and not slow:
             # fast-path MC variance over the SELECTED lanes (the reference
             # runs phdVarianceKernel on the full pre-merge candidate
-            # array, :3585-3597; the top-cap tail it misses is
-            # sub-threshold weight by construction)
+            # array, :3585-3597). The tail this misses is usually
+            # sub-threshold weight, but NOT by construction: when live
+            # candidates exceed merge_candidate_cap the stage-2 cap also
+            # drops above-min_feature_weight lanes (visible as a non-zero
+            # n_compact/overflow count) and the estimate then under-counts
+            # that dropped mass relative to the reference's full-array
+            # form. Configs that need the exact full-grid estimator under
+            # cap pressure can disable the cap (merge_candidate_cap=0).
             from .extras import mc_variance_packed
             variance = mc_variance_packed(
                 packed, pre["gather"]["is_p"], cfg.n_samples, keys[0])

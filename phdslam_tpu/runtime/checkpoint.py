@@ -53,6 +53,31 @@ def save_checkpoint(path: str, state: Any, extra: Optional[dict] = None,
             pickle.dump(treedef, fh)
 
 
+def _validate_like(like_tree: Any, loaded_tree: Any, path: str):
+    """Shape/dtype check of a restored pytree against the caller's ``like``
+    template: resuming a checkpoint saved under a different particle/feature
+    capacity must fail with a clear error here, not an opaque jit shape
+    error hundreds of frames later (advisor finding, round 3). The numpy
+    layout restores raw leaves with no structural validation of its own;
+    orbax validates via its own ``like`` mechanics."""
+    like_leaves, like_def = jax.tree.flatten(like_tree)
+    loaded_leaves, loaded_def = jax.tree.flatten(loaded_tree)
+    if like_def != loaded_def:
+        raise ValueError(
+            f"checkpoint/config structure mismatch at {path}: saved tree "
+            f"{loaded_def} != expected {like_def} (was the checkpoint saved "
+            "under a different filter configuration?)")
+    for a, b in zip(like_leaves, loaded_leaves):
+        a_sh, b_sh = np.shape(a), np.shape(b)
+        if a_sh != b_sh:
+            raise ValueError(
+                f"checkpoint/config shape mismatch at {path}: saved leaf "
+                f"shape {b_sh} != expected {a_sh} — the checkpoint was "
+                "saved under different capacities (n_particles / "
+                "max_features / max_measurements); resume with the original "
+                "config or re-initialize.")
+
+
 def load_checkpoint(path: str, like: Any, extra_like: Optional[dict] = None):
     """Load a checkpoint saved by :func:`save_checkpoint`.
 
@@ -72,6 +97,10 @@ def load_checkpoint(path: str, like: Any, extra_like: Optional[dict] = None):
         data = np.load(os.path.join(path, "leaves.npz"))
         leaves = [data[k] for k in data.files]
         payload = jax.tree.unflatten(treedef, leaves)
+        # validate the state subtree only: a checkpoint saved WITH extras is
+        # still loadable without requesting them (and vice versa fails in
+        # unflatten above)
+        _validate_like(like, payload["state"], path)
         if extra_like is not None:
             return payload["state"], payload.get("extra")
         return payload["state"]

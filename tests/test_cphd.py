@@ -319,3 +319,62 @@ def test_cardinality_predict_batch_matches_per_particle():
     # horizon differ representationally but are identically ~0 mass)
     np.testing.assert_allclose(np.exp(bm - bm.max()),
                                np.exp(am - am.max()), atol=1e-5)
+
+
+def test_log_esf_omit_wide_dynamic_range():
+    """Shared-per-row-max caveat of the prefix/suffix convolution form
+    (advisor, round 3): with adversarially wide-spanning log_lambda the
+    esfd entries whose dominant term sits far below the row peak may
+    underflow to LOG0 where a per-output logsumexp stays finite. Pin that
+    (a) every entry within the f32 horizon of its row peak is exact, and
+    (b) the downstream psi1d inner products are insensitive to the
+    underflowed tail."""
+    lam = np.exp(np.array([10.0, -80.0, 5.0, -60.0], np.float64))
+    M = len(lam)
+    ll = jnp.asarray(np.log(lam), jnp.float32)
+    zm = jnp.ones((M,), bool)
+    esfd = np.asarray(log_esf_omit(ll, zm), np.float64)
+
+    for m in range(M):
+        keep = np.delete(lam, m)
+        oracle = esf_bruteforce(keep)[:M]          # orders 0..M-1
+        peak = oracle.max()
+        got = np.exp(esfd[m])
+        for k in range(M):
+            if oracle[k] / peak > 1e-30:
+                # within the f32 horizon: exact (relative to magnitude)
+                np.testing.assert_allclose(got[k], oracle[k], rtol=1e-3)
+            else:
+                # may have underflowed to LOG0 — but must not be LARGER
+                # than the true value by more than f32 noise
+                assert got[k] <= oracle[k] * (1 + 1e-3) + 1e-300
+
+    # downstream insensitivity: ip1d from the f32 esfd matches the full
+    # float64 oracle (psi1d weights esfd by comparably-scaled factors and
+    # sums over k, so the ~e^-88-relative tail cannot move the result)
+    cfg = SlamConfig(max_cardinality=12, clutter_rate=2.0, max_range=10.0,
+                     max_bearing=np.pi)
+    consts = cphd_constants(cfg)
+    ip_qdw, wsum = 0.8, 2.0
+    cn = np.array([math.exp(-1.5) * 1.5 ** n / math.factorial(n)
+                   for n in range(13)])
+    esf_full = log_esf(ll, zm)
+    _, _, _, ip1d = psi_terms(
+        consts, esf_full, jnp.asarray(esfd, jnp.float32),
+        jnp.log(jnp.asarray(cn, jnp.float32)),
+        jnp.float32(np.log(ip_qdw)), jnp.float32(np.log(wsum)), M, zm)
+    for m in range(M):
+        keep = np.delete(lam, m)
+        esf_d = esf_bruteforce(keep)
+        psi1d = np.zeros(13)
+        for n in range(13):
+            for j in range(0, min(n, M - 1) + 1):
+                if j + 1 <= n:
+                    perm1 = math.factorial(n) / math.factorial(n - j - 1)
+                    pk = math.exp(-2.0) * 2.0 ** (M - 1 - j) \
+                        / math.factorial(M - 1 - j)
+                    psi1d[n] += perm1 * math.factorial(M - 1 - j) * pk \
+                        * esf_d[j] * ip_qdw ** (n - j - 1) / wsum ** n
+        expect = float(np.dot(psi1d, cn))
+        np.testing.assert_allclose(np.exp(float(ip1d[m])), expect,
+                                   rtol=5e-3)

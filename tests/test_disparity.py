@@ -176,6 +176,21 @@ def test_disparity_chunked_matches_scanned(tmp_path):
     assert len(lt) == 12
     assert len(np.unique(lt)) > 1          # chunk-granular, not an average
 
+    # chunk NOT dividing T (12 % 5 = 2): the remainder runs as its own
+    # sized scan — the filter must never step through padded phantom steps
+    # (advisor, round 3: a padded tail advanced rng/step/resampling
+    # history), so est_poses AND the final state match the single scan
+    res_r = run_disparity(copy.deepcopy(cfg), data_dir=str(data),
+                          out_dir=str(tmp_path / "rem"), chunk=5)
+    np.testing.assert_allclose(res_r["est_poses"], res_s["est_poses"],
+                               rtol=1e-6)
+    import jax
+    for a, b in zip(jax.tree.leaves(res_r["final_state"]),
+                    jax.tree.leaves(res_s["final_state"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    lt_r = np.loadtxt(os.path.join(str(tmp_path / "rem"), "loopTime.log"))
+    assert len(lt_r) == 12
+
 
 def test_disparity_timing_and_particle_mats(tmp_path):
     """timing=True: TRUE per-step loopTime.log (the disparity loop's

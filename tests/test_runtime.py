@@ -44,6 +44,26 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_shape_mismatch_raises(tmp_path):
+    """Resuming a checkpoint saved under different capacities must fail
+    with a clear shape-mismatch error, not an opaque downstream jit error
+    (advisor, round 3 — the numpy layout restored raw leaves unchecked)."""
+    import pytest
+
+    cfg = small_cfg()
+    state = init_state(cfg)
+    path = str(tmp_path / "ckpt_np")
+    save_checkpoint(path, state, backend="numpy")
+
+    cfg2 = small_cfg(n_particles=cfg.n_particles * 2)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_checkpoint(path, init_state(cfg2))
+    # matching config still restores
+    restored = load_checkpoint(path, init_state(cfg))
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_profile_single_update(tmp_path):
     cfg = small_cfg()
     state = init_state(cfg)

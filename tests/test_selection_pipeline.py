@@ -182,3 +182,104 @@ def test_fast_variance_matches_slow():
     # two estimators' agreement is under test. Independent MC draws:
     # compare expectations, not samples.
     np.testing.assert_allclose(vf, vs, rtol=0.2)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_scheme2_fast_lossy_regime_typical(seed):
+    """Scheme-2 in the LOSSY selection regime (T < live lanes per
+    measurement): on realistic scenes (measurements at feature sites,
+    weights spread over one decade) the argmax single-object likelihood
+    still lands in the heaviest-T pdw lanes, so dlog_w matches the
+    full-grid argmax route exactly (advisor, round 3: the lossless-only
+    test left this regime unpinned). detection_topk=0 with the same cap
+    runs the SAME candidate pipeline with the full-grid argmax — the
+    comparison isolates the top-T restriction of the scheme-2 search."""
+    K, M, T = 16, 8, 3
+    common = dict(particle_weighting=2, max_features=K,
+                  max_measurements=M, merge_candidate_cap=64)
+    cfg_t = make_cfg(detection_topk=T, **common)
+    cfg_f = make_cfg(detection_topk=0, **common)
+
+    rng = np.random.default_rng(seed)
+    P = 4
+    pose = np.zeros((P, 6), np.float32)
+    mean = (rng.uniform(-8, 8, (1, K, 2))
+            + rng.normal(0, 0.02, (P, K, 2))).astype(np.float32)
+    A = rng.normal(0, 0.2, (P, K, 2, 2)).astype(np.float32)
+    cov = A @ A.transpose(0, 1, 3, 2) + 0.05 * np.eye(2, dtype=np.float32)
+    # ALL K features live with weights spread over a decade: every
+    # measurement gates several features, so T=3 < live lanes
+    w = rng.uniform(0.1, 1.0, (P, K)).astype(np.float32)
+    sites = mean[0, :M]
+    rr = np.linalg.norm(sites, axis=1)
+    bb = np.arctan2(sites[:, 1], sites[:, 0])
+    z = np.column_stack([rr, bb]).astype(np.float32)
+    zm = np.ones((M,), bool)
+    args = (jnp.asarray(pose), jnp.asarray(mean), jnp.asarray(cov),
+            jnp.asarray(w), jnp.asarray(z), jnp.asarray(zm))
+
+    out_t = _batched_update(*args, cfg_t)
+    out_f = _batched_update(*args, cfg_f)
+    np.testing.assert_allclose(np.asarray(out_t[3]), np.asarray(out_f[3]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_scheme2_fast_lossy_regime_adversarial():
+    """The documented failure mode of the top-T scheme-2 argmax: a
+    high-likelihood lane on a LOW-weight feature (like = pdw / (pd w) large
+    because w is tiny) can rank below the top-T by pdw and be missed.
+    Quantify the dlog_w deviation and pin that the map output itself is
+    unaffected (the s2 search only feeds the particle weight)."""
+    K, M, T = 8, 2, 1
+    # cap must sit BELOW the full lane count K + M*K + M = 26 or use_fast
+    # never engages and both configs silently take the slow full-grid path
+    common = dict(particle_weighting=2, max_features=K,
+                  max_measurements=M, merge_candidate_cap=16,
+                  min_feature_weight=1e-8)
+    cfg_t = make_cfg(detection_topk=T, **common)
+    cfg_f = make_cfg(detection_topk=0, **common)
+
+    P = 2
+    pose = np.zeros((P, 6), np.float32)
+    mean = np.zeros((P, K, 2), np.float32)
+    # feature 0: tiny weight, EXACTLY at the measurement site -> the
+    # single-object likelihood argmax; feature 1: heavy weight nearby ->
+    # wins the pdw top-1 slot
+    mean[:, 0] = [4.0, 0.0]
+    mean[:, 1] = [4.3, 0.15]
+    mean[:, 2] = [-5.0, 2.0]
+    cov = np.broadcast_to(0.04 * np.eye(2, dtype=np.float32),
+                          (P, K, 2, 2)).copy()
+    w = np.zeros((P, K), np.float32)
+    w[:, 0] = 1e-4
+    w[:, 1] = 1.0
+    w[:, 2] = 1.0
+    # two valid measurements: the RB factor's max_like term carries a
+    # (m_valid - 1) coefficient, so a single-measurement scene would hide
+    # the missed argmax entirely
+    # the second measurement sits ~1σ OFF feature 2 so its single-object
+    # likelihood stays below feature 0's exact hit — feature 0 (weight
+    # 1e-4) remains the global argmax that the pdw top-1 misses
+    r2 = np.linalg.norm(mean[0, 2]) + 0.35
+    b2 = np.arctan2(mean[0, 2, 1], mean[0, 2, 0])
+    z = np.array([[4.0, 0.0], [r2, b2]], np.float32)
+    zm = np.array([True, True])
+    args = (jnp.asarray(pose), jnp.asarray(mean), jnp.asarray(cov),
+            jnp.asarray(w), jnp.asarray(z), jnp.asarray(zm))
+
+    out_t = _batched_update(*args, cfg_t)
+    out_f = _batched_update(*args, cfg_f)
+    # the maps are NEAR-identical: s2 only alters dlog_w; the residual
+    # map delta (~2e-4) is the sub-dominant detection lanes (weight ~1e-3)
+    # that the top-1 selection drops from the candidate set
+    np.testing.assert_allclose(np.asarray(out_t[2]), np.asarray(out_f[2]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_t[0]), np.asarray(out_f[0]),
+                               rtol=1e-3, atol=1e-3)
+    # dlog_w deviates (the argmax was missed) but boundedly: both routes
+    # saw the same normalizers, so the delta is the log-ratio of the RB
+    # factors — record its magnitude as the documented deviation
+    d = np.abs(np.asarray(out_t[3]) - np.asarray(out_f[3]))
+    assert np.isfinite(d).all()
+    assert (d > 1e-4).all(), "adversarial scene failed to exercise the miss"
+    assert (d < 25.0).all()
