@@ -213,18 +213,23 @@ class SlamConfig:
     # OFF by default; kept as a pinned-equivalent variant
     # (tests/test_pallas_merge.py).
     fused_gather_merge: int = 0
-    # Same-source candidate pre-consolidation (ops/gm_merge.py
-    # consolidate_packed): before the sequential greedy merge, collapse —
-    # fully in parallel across all source segments — each feature's
-    # persistent + M detection copies (and nothing else) onto the
-    # segment's heaviest lane when within min_separation of it, exactly
-    # the moment match the greedy loop would perform. The merge then runs
-    # on ~live-features lanes instead of ~cap lanes (its per-cluster cost
-    # is proportional to the lane width it scans — BENCH.md dense
-    # roofline). Deviates from strict sequential-greedy order only when a
-    # DIFFERENT feature's heavier candidate lies within min_separation
-    # (it would have claimed some copies first); measured ATE/OSPA-neutral
-    # (tools/ab_consolidate.py). 0 = off, 1 = on.
+    # Same-source candidate pre-consolidation (the parallel first greedy
+    # step, computed INSIDE the fused detection kernel — ops/
+    # pallas_detect.py): per feature column of the [M, K] grid, the
+    # detection copies within min_separation of the column's greedy head
+    # are collapsed onto the persistent lane as one moment-matched
+    # cluster before the sequential greedy merge ever runs. The merge
+    # then scans ~live-features lanes instead of ~cap lanes (its
+    # per-cluster cost is proportional to the lane width — BENCH.md dense
+    # roofline) and the narrow width-switch variants engage. Deviations
+    # from strict sequential-greedy order: (a) a DIFFERENT feature's
+    # heavier candidate within min_separation would have claimed some
+    # copies first (sub-min_separation association order, identical
+    # mass); (b) a live persistent copy NOT within min_separation of the
+    # head disables that column's consolidation (exactness preserved).
+    # Measured ATE/OSPA-neutral (tools/ab_consolidate.py). Requires the
+    # fused detect route (pallas_detect, 0 < detection_topk <
+    # max_features); no effect for scheme-2 weighting. 0 = off, 1 = on.
     premerge_consolidate: int = 0
     # Fused detection+top-T Pallas kernel (ops/pallas_detect.py): 0 = off
     # (XLA grid + payload sort), 1 = auto (Mosaic kernel on TPU backends),
@@ -374,6 +379,7 @@ _OPTION_MAP = {
     "eap_every": "eap_every",
     "eap_tree_cap": "eap_tree_cap",
     "fused_gather_merge": "fused_gather_merge",
+    "premerge_consolidate": "premerge_consolidate",
 }
 
 _LINE_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*?)\s*$")

@@ -388,9 +388,14 @@ class DisparityOutputs(NamedTuple):
 
 
 def disparity_step(state: DisparityState, z, z_mask, dt, do_predict,
-                   cfg: SlamConfig):
+                   cfg: SlamConfig, mesh=None):
     """Full SC-PHD step: predict -> update -> extract -> resample
-    (run_disparity loop, main.cpp:1373-1439)."""
+    (run_disparity loop, main.cpp:1373-1439).
+
+    ``mesh``: the particle mesh when running sharded (SURVEY.md §2.4-P1 —
+    the per-particle cloud state [P, K, N, 3] shards on the particle axis
+    like every other variant); routes the resampling migration through the
+    neighbor exchange (parallel/migrate.py)."""
     key = jax.random.fold_in(state.rng, state.step)
     k_pred, k_upd, k_res = jax.random.split(key, 3)
 
@@ -428,33 +433,88 @@ def disparity_step(state: DisparityState, z, z_mask, dt, do_predict,
     overflow = jnp.where(has_z, jnp.max(overflow), 0)
 
     # resampling happens BEFORE extraction in this pipeline
-    # (main.cpp:1403-1434, unlike the synth driver)
+    # (main.cpp:1403-1434, unlike the synth driver). The cross-particle
+    # gather only executes on resample steps (lax.cond): under
+    # jit+NamedSharding an unconditional take would all-gather the ENTIRE
+    # [P, K, N, 3] cloud state every step; on a particle mesh the gather
+    # routes through the neighbor migration (parallel/migrate.py) exactly
+    # like the synth variants.
     n_eff = effective_sample_ratio(state.log_weight)
     do_resample = n_eff <= cfg.resample_threshold
     ancestors = systematic_ancestors(state.log_weight, k_res, P)
-    idx = jnp.where(do_resample, ancestors, jnp.arange(P, dtype=jnp.int32))
-    take = lambda x: jnp.take(x, idx, axis=0)
-    state = state.replace(
-        cam_pose=take(state.cam_pose),
-        cloud=take(state.cloud),
-        feat_weight=take(state.feat_weight),
-        log_weight=jnp.where(
-            do_resample,
-            jnp.full((P,), -jnp.log(float(P)), state.log_weight.dtype),
-            take(state.log_weight)),
-        resample_idx=idx,
-        step=state.step + 1)
+    identity = jnp.arange(P, dtype=jnp.int32)
 
-    # extraction (recoverSlamState(DisparitySLAM), main.cpp:391-451)
+    def _do(st):
+        if mesh is not None and getattr(cfg, "neighbor_migration", 1):
+            st = _gather_disparity_sharded(st, ancestors, mesh, cfg)
+        else:
+            take = lambda x: jnp.take(x, ancestors, axis=0)
+            st = st.replace(cam_pose=take(st.cam_pose),
+                            cloud=take(st.cloud),
+                            feat_weight=take(st.feat_weight))
+        return st.replace(
+            log_weight=jnp.full((P,), -jnp.log(float(P)),
+                                st.log_weight.dtype),
+            resample_idx=ancestors)
+
+    def _skip(st):
+        return st.replace(resample_idx=identity)
+
+    state = jax.lax.cond(do_resample, _do, _skip, state)
+    state = state.replace(step=state.step + 1)
+
+    # extraction (recoverSlamState(DisparitySLAM), main.cpp:391-451).
+    # One-hot contraction over the particle axis instead of a dynamic-index
+    # gather: under SPMD a gather all-gathers the full sharded cloud state
+    # (see filters.phd.extract for the same pattern).
     w = jnp.exp(state.log_weight)
     expected_pose = jnp.einsum("p,pd->d", w, state.cam_pose)
-    max_idx = jnp.argmax(state.log_weight)
+    oh = (jnp.arange(P) == jnp.argmax(state.log_weight)).astype(
+        state.cloud.dtype)
     out = DisparityOutputs(
         expected_pose=expected_pose,
-        map_cloud=jnp.take(state.cloud, max_idx, axis=0),
-        map_weight=jnp.take(state.feat_weight, max_idx, axis=0),
+        map_cloud=jnp.einsum("p,pknd->knd", oh, state.cloud),
+        map_weight=jnp.einsum("p,pk->k", oh, state.feat_weight),
         n_eff=n_eff, resampled=do_resample, overflow=overflow)
     return state, out
+
+
+def _gather_disparity_sharded(state: DisparityState, ancestors, mesh, cfg):
+    """Resample-step particle migration for the disparity state on a
+    particle mesh: neighbor ppermute exchange when feasible, exact full
+    gather otherwise (parallel/migrate.py — the same mechanism the synth
+    variants use; the cloud leaf [P, K, N, 3] rides it unchanged)."""
+    import jax as _jax
+
+    from ..parallel.migrate import (default_row_budget, gather_rows_neighbor,
+                                    neighbor_feasible)
+    from ..parallel.sharding import PARTICLE_AXIS
+    from jax.sharding import NamedSharding, PartitionSpec as _P
+
+    n_dev = mesh.shape[PARTICLE_AXIS]
+    P_ = state.cam_pose.shape[0]
+
+    def full(st):
+        take = lambda x: jnp.take(x, ancestors, axis=0)
+        return st.replace(cam_pose=take(st.cam_pose), cloud=take(st.cloud),
+                          feat_weight=take(st.feat_weight))
+
+    if n_dev <= 2 or P_ % n_dev:
+        return full(state)
+    block = P_ // n_dev
+    budget = getattr(cfg, "migration_row_budget", 0) or \
+        default_row_budget(block)
+    budget = min(budget, block)
+    anc = _jax.lax.with_sharding_constraint(
+        ancestors, NamedSharding(mesh, _P()))
+    ok = neighbor_feasible(anc, n_dev, block, budget)
+
+    def fast(st):
+        cp, cl, fw = gather_rows_neighbor(
+            mesh, anc, [st.cam_pose, st.cloud, st.feat_weight], budget)
+        return st.replace(cam_pose=cp, cloud=cl, feat_weight=fw)
+
+    return _jax.lax.cond(ok, fast, full, state)
 
 
 def make_disparity_step_fn(cfg: SlamConfig, donate: bool = True):

@@ -98,7 +98,7 @@ def predict(state: FilterState, control, dt, cfg: SlamConfig,
 
 def _update_single_pre(pose, mean, cov, weight, z, z_mask,
                        cfg: SlamConfig, key=None, force_full=False,
-                       det=None):
+                       det=None, cons=None):
     """Pre-merge half of the single-particle GM-PHD update
     (phdUpdateKernel, phdfilter.cu:2083-2321): in-range partition, EKF
     pre-update, normalizers, weights and the compacted merge-candidate set.
@@ -111,6 +111,13 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
     count_d [M]) from ops.pallas_detect.detection_topT_batch — hoisted to
     batch level by _batched_update like the merge; when given, the [M, K]
     detection grid is never formed here.
+
+    ``cons`` [10, K] optionally carries the kernel's same-source
+    pre-consolidation sums (member detection copies collapsed per feature
+    column — see ops.pallas_detect._detect_kernel): the persistent lane k
+    then becomes the moment-matched cluster of {persistent copy (when
+    near the head), member detection copies}, carried through the gather
+    via 5 extra table rows (consolidated mean + upper-tri covariance).
     """
     K, D = mean.shape
     M = z.shape[0]
@@ -229,6 +236,58 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
         act_b = det_valid & (w_det >= min_fw)
     act_c = z_mask & (w_birth >= min_fw)
 
+    cons_rows = None
+    if cons is not None:
+        # same-source pre-consolidation: fold the kernel's member moment
+        # sums (about the column head's innovation coords c) plus the
+        # persistent copy into the persistent lane's candidate values.
+        Sw, Sdur, Sdub, Srr, Srb, Sbb, c_r, c_b, n_mem, pers_in = \
+            (cons[i] for i in range(10))
+        # must match the wp plane the kernel gated heads/membership on
+        # (w_a == w_nd on in-range lanes)
+        wp = jnp.where(in_m & (w_a >= min_fw), w_a, 0.0)
+        cons_on = n_mem > 0.5
+        wpin = jnp.where(pers_in > 0.5, wp, 0.0)
+        W = Sw + wpin
+        W_safe = jnp.maximum(W, 1e-30)
+        # mean: u-bar = (Sw c + S du) / W (persistent sits at u = 0)
+        ub_r = (Sw * c_r + Sdur) / W_safe
+        ub_b = (Sw * c_b + Sdub) / W_safe
+        g00, g01 = pre.gain[:, 0, 0], pre.gain[:, 0, 1]
+        g10, g11 = pre.gain[:, 1, 0], pre.gain[:, 1, 1]
+        mc_x = mean[:, 0] + g00 * ub_r + g01 * ub_b
+        mc_y = mean[:, 1] + g10 * ub_r + g11 * ub_b
+        # spread about u-bar, accumulated about c (head coords) so the
+        # quadratic terms stay O(min_sep) — no position-scale cancellation
+        sp_rr = (Srr + wpin * c_r * c_r) / W_safe
+        sp_rb = (Srb + wpin * c_r * c_b) / W_safe
+        sp_bb = (Sbb + wpin * c_b * c_b) / W_safe
+        dc_r = ub_r - c_r
+        dc_b = ub_b - c_b
+        sp_rr = sp_rr - dc_r * dc_r
+        sp_rb = sp_rb - dc_r * dc_b
+        sp_bb = sp_bb - dc_b * dc_b
+        cu00 = pre.cov_upd[:, 0, 0]
+        cu01 = pre.cov_upd[:, 0, 1]
+        cu11 = pre.cov_upd[:, 1, 1]
+        base00 = (Sw * cu00 + wpin * cov[:, 0, 0]) / W_safe
+        base01 = (Sw * cu01 + wpin * cov[:, 0, 1]) / W_safe
+        base11 = (Sw * cu11 + wpin * cov[:, 1, 1]) / W_safe
+        # + G spread G' (rows of G: (g00, g01), (g10, g11))
+        cc00 = base00 + g00 * g00 * sp_rr + 2.0 * g00 * g01 * sp_rb \
+            + g01 * g01 * sp_bb
+        cc01 = base01 + g00 * g10 * sp_rr \
+            + (g00 * g11 + g01 * g10) * sp_rb + g01 * g11 * sp_bb
+        cc11 = base11 + g10 * g10 * sp_rr + 2.0 * g10 * g11 * sp_rb \
+            + g11 * g11 * sp_bb
+        w_a = jnp.where(cons_on, W, w_a)
+        act_a = act_a | cons_on
+        cons_rows = (jnp.where(cons_on, mc_x, mean[:, 0]),
+                     jnp.where(cons_on, mc_y, mean[:, 1]),
+                     jnp.where(cons_on, cc00, cov[:, 0, 0]),
+                     jnp.where(cons_on, cc01, cov[:, 0, 1]),
+                     jnp.where(cons_on, cc11, cov[:, 1, 1]))
+
     # merge candidate set: lane layout [K persistent | M*K detections | M births]
     eye = jnp.eye(D, dtype=dtype)
     N = K + M * K + M
@@ -321,7 +380,8 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
         # fallback via _finish_candidates
         k_eff, m_eff, is_p, is_d = ekf.candidate_gather_indices(
             idx, K, M, True)
-        t_k, t_m = ekf.candidate_tables_T(mean, cov, pre, z, b_mean, b_cov)
+        t_k, t_m = ekf.candidate_tables_T(mean, cov, pre, z, b_mean, b_cov,
+                                          cons_rows=cons_rows)
         gather = dict(k_eff=k_eff, m_eff=m_eff, is_p=is_p, is_d=is_d,
                       sel_act=sel_act, cand_w=cand_w, t_k=t_k, t_m=t_m)
         pre_out = dict(cand=None, gather=gather, dlog_w=dlog_w, out_m=out_m,
@@ -370,14 +430,16 @@ def _update_single_pre(pose, mean, cov, weight, z, z_mask,
     return pre_out
 
 
-def _finish_gather_planes(pre_out, D, batched=False, has_birth=True):
+def _finish_gather_planes(pre_out, D, batched=False, has_birth=True,
+                          cons_rows=False):
     """Complete a deferred candidate gather (fast path) in PLANE form:
     fetch the selected table rows ([C, cap] transposed layout) and return
     (mean_planes, cov_planes, cand_w, sel_act).
 
     ``batched=True`` routes the row fetch through the Pallas transposed
     one-hot gather kernel (ops/pallas_select.py); single-particle callers
-    use the XLA one-hot matmul fallback.
+    use the XLA one-hot matmul fallback. ``cons_rows``: the tables carry
+    the 5 consolidated-persistent rows (same-source pre-consolidation).
     """
     g = pre_out["gather"]
     if batched:
@@ -387,7 +449,8 @@ def _finish_gather_planes(pre_out, D, batched=False, has_birth=True):
     r_k = rows(g["k_eff"], g["t_k"])
     r_m = rows(g["m_eff"], g["t_m"])
     mean_pl, cov_pl = ekf.combine_selected_planes(
-        r_k, r_m, g["is_p"], g["is_d"], g["sel_act"], D, has_birth)
+        r_k, r_m, g["is_p"], g["is_d"], g["sel_act"], D, has_birth,
+        cons_rows=cons_rows)
     return mean_pl, cov_pl, g["cand_w"], g["sel_act"]
 
 
@@ -409,14 +472,79 @@ def _finish_candidates(pre_out, D, batched=False, has_birth=True):
     return cand_mean, cand_cov, cand_w, sel_act
 
 
-def _finish_candidates_packed(pre_out, D, batched=True, has_birth=True):
+def _finish_candidates_packed(pre_out, D, batched=True, has_birth=True,
+                              cons_rows=False):
     """Packed completion of a deferred gather: SoA planes [P, C, cap]
     (w, act, means, upper-triangle covs) ready for
     ops.gm_merge.merge_batch_dispatch_packed."""
     mean_pl, cov_pl, cand_w, sel_act = _finish_gather_planes(
-        pre_out, D, batched, has_birth)
+        pre_out, D, batched, has_birth, cons_rows=cons_rows)
     planes = [cand_w, sel_act.astype(cand_w.dtype)] + mean_pl + cov_pl
     return jnp.stack(planes, axis=-2)
+
+
+def _post_compact_batched(mg, pre, mean, cov, weight, cfg: SlamConfig):
+    """Batch-level post-merge half: re-attach out-of-range features and
+    compact to capacity with ONE [P, 2K] payload sort + the Pallas
+    transposed one-hot gather (ops/pallas_select.py).
+
+    Replaces the per-particle [K, 2K] one-hot matmuls of
+    :func:`_update_single_post` on the fast path: under vmap those
+    materialize a [P, K, 2K] one-hot operand (dot operands are never
+    fusion outputs — BENCH.md), measured 11.3 ms of the 58.6 ms dense
+    update at P=1024/K=1024; the Pallas gather keeps the one-hot in VMEM.
+    Scheme-2 reweighting and the same overflow accounting run on the
+    gathered planes. Returns (new_mean, new_cov, new_w, dlog_w, overflow).
+    """
+    P, K, D = mean.shape
+    dtype = mean.dtype
+    mg_mean, mg_cov, mg_w, _n_merged, n_dropped = mg
+    out_m = pre["out_m"]
+    all_w = jnp.concatenate([mg_w, jnp.where(out_m, weight, 0.0)], axis=1)
+    n_all = all_w.shape[1]
+
+    iota = jnp.broadcast_to(jnp.arange(n_all, dtype=jnp.int32)[None],
+                            (P, n_all))
+    neg_s, order = jax.lax.sort((-all_w, iota), num_keys=1, dimension=-1)
+    new_w = jnp.maximum(-neg_s[:, :K], 0.0)
+    order = order[:, :K]
+
+    rows = [jnp.concatenate([mg_mean[..., i], mean[..., i]], axis=1)
+            for i in range(D)]
+    rows += [jnp.concatenate([mg_cov[..., a, b], cov[..., a, b]], axis=1)
+             for a in range(D) for b in range(a, D)]
+    tab = jnp.stack(rows, axis=1)                       # [P, C, 2K]
+    from ..ops.pallas_select import onehot_cols_batch
+    got = onehot_cols_batch(order, tab,
+                            interpret=cfg.pallas_merge == 2)  # [P, C, K]
+
+    empty = new_w <= 0
+    mean_pl = [jnp.where(empty, 0.0, got[:, i]) for i in range(D)]
+    new_mean = jnp.stack(mean_pl, axis=-1)
+    full = [[None] * D for _ in range(D)]
+    i = D
+    for a in range(D):
+        for b in range(a, D):
+            cp = jnp.where(empty, 1.0 if a == b else 0.0, got[:, i])
+            full[a][b] = full[b][a] = cp
+            i += 1
+    new_cov = jnp.stack([jnp.stack(row, axis=-1) for row in full], axis=-2)
+    new_w = jnp.where(empty, 0.0, new_w)
+
+    total_live = jnp.sum((all_w > 0).astype(jnp.int32), axis=1)
+    overflow = jnp.maximum(total_live - K, 0) + n_dropped \
+        + pre["n_compact"]
+
+    dlog_w = pre["dlog_w"]
+    if cfg.particle_weighting == 2 and pre.get("s2") is not None:
+        from .extras import single_feature_dlogw_point
+        s2 = pre["s2"]
+        dlog_w = jax.vmap(
+            lambda ml, xs, mv, m, c, w, nm, nc, nw: single_feature_dlogw_point(
+                ml, xs, mv, m, c, w, nm, nc, nw, cfg))(
+            s2["max_like"], s2["x_star"], s2["m_valid"],
+            mean, cov, weight, new_mean, new_cov, new_w)
+    return new_mean, new_cov, new_w, dlog_w, overflow
 
 
 def _update_single_post(mg, pre_out, mean, cov, weight, cfg: SlamConfig):
@@ -497,11 +625,20 @@ def _update_single(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
     return _update_single_post(mg, pre_out, mean, cov, weight, cfg)
 
 
-def _detection_planes_single(pose, mean, cov, weight, cfg: SlamConfig):
+def _detection_planes_single(pose, mean, cov, weight, cfg: SlamConfig,
+                             consolidate=False):
     """Input planes for the fused detection kernel (ops/pallas_detect.py):
     r, bearing, si00, si01, si11, pref — pref pre-folds pd * w /
     (2 pi sqrt det S) and the in-range mask exactly as
-    ekf.ekf_detection_linear + the det_valid gate do."""
+    ekf.ekf_detection_linear + the det_valid gate do.
+
+    With ``consolidate`` (same-source pre-consolidation), 7 extra rows:
+    wp (the gated persistent candidate weight — must match
+    _update_single_pre's act_a gate exactly), the copy-copy Mahalanobis
+    quadratic Q = G' cov_upd^-1 G and the copy-persistent quadratic
+    P = G' ((cov + cov_upd)/2)^-1 G, all in innovation coordinates (the
+    distance between two EKF copies of feature k is
+    (G Δu)' C^-1 (G Δu) = Δu' [G' C^-1 G] Δu)."""
     cls = measurement.classify_in_range(pose, mean, weight, cfg)
     in_m = cls == measurement.IN_RANGE
     pre = ekf.ekf_preupdate(pose, mean, cov, cfg)
@@ -510,8 +647,34 @@ def _detection_planes_single(pose, mean, cov, weight, cfg: SlamConfig):
         pre.pd * weight / (2.0 * jnp.pi
                            * jnp.sqrt(jnp.maximum(pre.det_S, 1e-30))),
         0.0)
-    return jnp.stack([pre.r, pre.bearing, pre.si00, pre.si01, pre.si11,
-                      pref], axis=0)
+    rows = [pre.r, pre.bearing, pre.si00, pre.si01, pre.si11, pref]
+    if consolidate:
+        w_nd = weight * (1.0 - pre.pd)
+        wp = jnp.where(in_m & (w_nd >= cfg.min_feature_weight), w_nd, 0.0)
+        g00, g01 = pre.gain[:, 0, 0], pre.gain[:, 0, 1]
+        g10, g11 = pre.gain[:, 1, 0], pre.gain[:, 1, 1]
+
+        def quad(c00, c01, c11):
+            det = jnp.maximum(c00 * c11 - c01 * c01, 1e-30)
+            i00, i01, i11 = c11 / det, -c01 / det, c00 / det
+            # G' Cinv G with G columns (g00, g10), (g01, g11)
+            q00 = g00 * g00 * i00 + 2.0 * g00 * g10 * i01 \
+                + g10 * g10 * i11
+            q01 = g00 * g01 * i00 + (g00 * g11 + g01 * g10) * i01 \
+                + g10 * g11 * i11
+            q11 = g01 * g01 * i00 + 2.0 * g01 * g11 * i01 \
+                + g11 * g11 * i11
+            return q00, q01, q11
+
+        cu00 = pre.cov_upd[:, 0, 0]
+        cu01 = pre.cov_upd[:, 0, 1]
+        cu11 = pre.cov_upd[:, 1, 1]
+        rows += [wp]
+        rows += list(quad(cu00, cu01, cu11))
+        rows += list(quad(0.5 * (cov[:, 0, 0] + cu00),
+                          0.5 * (cov[:, 0, 1] + cu01),
+                          0.5 * (cov[:, 1, 1] + cu11)))
+    return jnp.stack(rows, axis=0)
 
 
 def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
@@ -534,23 +697,43 @@ def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
     slow = with_var and not (0 < cap < (K + M * K + M) and D == 2)
     use_fast = (not slow) and 0 < cap < (K + M * K + M)
     det = None
+    cons = None
+    # same-source pre-consolidation rides the fused detection kernel
+    # (design + measurement in BENCH.md: the XLA segmented-scan form cost
+    # more than the merge saved); scheme 2 needs the full top-T set for
+    # its argmax search, so it keeps the plain kernel
+    consolidate = bool(getattr(cfg, "premerge_consolidate", 0)) \
+        and D == 2 and cfg.particle_weighting != 2 \
+        and cfg.distance_metric == 0
     if use_fast and 0 < T < K and cfg.pallas_detect:
         from ..ops.pallas_detect import detection_topT_batch
         from ..ops.pallas_merge import pallas_available
         interp = cfg.pallas_detect == 2
         if interp or pallas_available():
             planes = jax.vmap(lambda p, m, c, w: _detection_planes_single(
-                p, m, c, w, cfg))(pose, mean, cov, weight)
+                p, m, c, w, cfg, consolidate=consolidate))(
+                pose, mean, cov, weight)
             z4 = jnp.stack([z[:, 0], z[:, 1], z_mask.astype(z.dtype),
                             jnp.zeros_like(z[:, 0])], axis=1)
-            det = detection_topT_batch(
+            res = detection_topT_batch(
                 planes, z4, T, float(cfg.min_feature_weight),
                 float(cfg.clutter_density + cfg.birth_weight),
-                interpret=interp)
+                interpret=interp,
+                min_sep=float(cfg.min_separation) if consolidate else 0.0)
+            if consolidate:
+                det, cons = res[:4], res[4]
+            else:
+                det = res
+    consolidate = consolidate and cons is not None
 
     if slow:
         pre = jax.vmap(lambda p, m, c, w, k: _update_single_pre(
             p, m, c, w, z, z_mask, cfg, k))(pose, mean, cov, weight, keys)
+    elif cons is not None:
+        pre = jax.vmap(
+            lambda p, m, c, w, dv, di, dn, dc, cns: _update_single_pre(
+                p, m, c, w, z, z_mask, cfg, det=(dv, di, dn, dc),
+                cons=cns))(pose, mean, cov, weight, *det, cons)
     elif det is not None:
         pre = jax.vmap(lambda p, m, c, w, dv, di, dn, dc: _update_single_pre(
             p, m, c, w, z, z_mask, cfg, det=(dv, di, dn, dc)))(
@@ -572,18 +755,20 @@ def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
         # kept in packed SoA planes end-to-end — [P, cap, D]-shaped
         # intermediates pad 32-64x under (8, 128) tiling
         mg = None
-        if D == 2 and not with_var:
+        if D == 2 and not with_var and not consolidate:
             # fully fused route: the merge kernel's prologue gathers and
             # combines the candidates in VMEM (ops/pallas_merge.py
             # _merge_tables_kernel) — the packed planes and two extra
             # kernel launches disappear. (with_var needs the packed planes
             # for the batch variance estimator, so it takes the 2-kernel
-            # route.)
+            # route; the consolidated route's extra table rows are not
+            # wired into the fused kernel's fixed offsets.)
             from ..ops.gm_merge import merge_batch_dispatch_tables
             mg = merge_batch_dispatch_tables(pre["gather"], cfg, K,
                                              sorted_prefix=sorted_prefix)
         if mg is None:
-            packed = _finish_candidates_packed(pre, D, batched=True)
+            packed = _finish_candidates_packed(
+                pre, D, batched=True, cons_rows=consolidate)
             mg = merge_batch_dispatch_packed(packed, D, cfg, K,
                                              sorted_prefix=sorted_prefix)
         if with_var and not slow:
@@ -605,10 +790,16 @@ def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
         mg = merge_batch_dispatch(cm, cc, cw, ca, cfg, K,
                                   sorted_prefix=sorted_prefix)
 
-    out = jax.vmap(
-        lambda mg_t, pre_t, m, c, w: _update_single_post(mg_t, pre_t, m, c,
-                                                         w, cfg)
-    )(mg, pre, mean, cov, weight)
+    if pre["gather"] is not None:
+        # batch-level post half: one payload sort + Pallas one-hot gather
+        # (the per-particle [K, 2K] one-hot matmul route materializes its
+        # dot operand at [P, K, 2K] — 11.3 ms of the dense update)
+        out = _post_compact_batched(mg, pre, mean, cov, weight, cfg)
+    else:
+        out = jax.vmap(
+            lambda mg_t, pre_t, m, c, w: _update_single_post(
+                mg_t, pre_t, m, c, w, cfg)
+        )(mg, pre, mean, cov, weight)
     if with_var and not slow:
         return out + (variance,)
     return out

@@ -299,7 +299,7 @@ def combine_selected(r_k, r_m, is_p, is_d, sel_act, D, has_birth):
 
 
 def candidate_tables_T(mean, cov, pre: PreUpdate, z, b_mean=None,
-                       b_cov=None):
+                       b_cov=None, cons_rows=None):
     """Transposed gather tables: t_k [Ck, K], t_m [Cm, M].
 
     Row order matches :func:`candidate_tables`'s column order (mean | cov
@@ -316,6 +316,11 @@ def candidate_tables_T(mean, cov, pre: PreUpdate, z, b_mean=None,
     rows_k += [pre.cov_upd[:, a, b] for a in range(D) for b in range(D)]
     rows_k += [pre.gain[:, i, j] for i in range(D) for j in range(2)]
     rows_k += [pre.r, pre.bearing]
+    if cons_rows is not None:
+        # same-source pre-consolidation: 5 extra rows (consolidated mean
+        # x/y + upper-tri covariance) consumed by combine_selected_planes
+        # for is_p lanes instead of the raw mean/cov rows
+        rows_k += list(cons_rows)
     t_k = jnp.stack(rows_k, axis=0)
     rows_m = [z[:, 0], z[:, 1]]
     if b_mean is not None:
@@ -325,7 +330,8 @@ def candidate_tables_T(mean, cov, pre: PreUpdate, z, b_mean=None,
     return t_k, t_m
 
 
-def combine_selected_planes(r_k, r_m, is_p, is_d, sel_act, D, has_birth):
+def combine_selected_planes(r_k, r_m, is_p, is_d, sel_act, D, has_birth,
+                            cons_rows=False):
     """Plane-form candidate assembly from TRANSPOSED gathered rows.
 
     r_k [..., Ck, cap], r_m [..., Cm, cap] (from candidate_tables_T +
@@ -340,6 +346,7 @@ def combine_selected_planes(r_k, r_m, is_p, is_d, sel_act, D, has_birth):
     o_gain = D + 2 * D * D
     o_r = D + 2 * D * D + 2 * D
     o_bear = o_r + 1
+    o_cons = o_bear + 1     # 5 rows: mean x/y, c00, c01, c11 (cons_rows)
 
     take_k = lambda c: r_k[..., c, :]
     take_m = lambda c: r_m[..., c, :]
@@ -349,8 +356,8 @@ def combine_selected_planes(r_k, r_m, is_p, is_d, sel_act, D, has_birth):
 
     mean_planes = []
     for i in range(D):
-        mean_k = take_k(i)
-        mean_d = mean_k + take_k(o_gain + 2 * i) * innov_r \
+        mean_k = take_k(o_cons + i) if cons_rows else take_k(i)
+        mean_d = take_k(i) + take_k(o_gain + 2 * i) * innov_r \
             + take_k(o_gain + 2 * i + 1) * innov_b
         if has_birth:
             mp = jnp.where(is_p, mean_k,
@@ -360,9 +367,14 @@ def combine_selected_planes(r_k, r_m, is_p, is_d, sel_act, D, has_birth):
         mean_planes.append(jnp.where(sel_act, mp, 0.0))
 
     cov_planes = []
+    tri = 0
     for a in range(D):
         for b in range(a, D):
-            ck = take_k(o_cov + a * D + b)
+            if cons_rows:
+                ck = take_k(o_cons + D + tri)
+            else:
+                ck = take_k(o_cov + a * D + b)
+            tri += 1
             cu = take_k(o_cov_upd + a * D + b)
             if has_birth:
                 cb_ = take_m(2 + D + a * D + b)

