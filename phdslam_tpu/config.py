@@ -236,6 +236,24 @@ class SlamConfig:
     # 2 = force interpret mode (CPU testing). Only engages on the fast
     # path with 0 < detection_topk < max_features.
     pallas_detect: int = 1
+    # Feature-width switching (filters/phd.py::_batched_update): run the
+    # pre-half + merge on the map's live weight-sorted prefix ([:, :K/4]
+    # or [:, :K/2]), lax.switched on the batch's max live count — exact
+    # (zero-weight lanes contribute exactly nothing) and shrinks
+    # everything that scales with the K capacity to the live fraction.
+    # 1 = on (default; only engages for K >= 256), 0 = off.
+    feature_width_switch: int = 1
+    # Two-scan velocity initialization for dynamic births (mixed model):
+    # 0 = reference semantics (zero velocity mean + covVx/VyBirth,
+    # phdfilter.cu:267-281); 1 = seed the birth velocity mean from the
+    # difference between the measurement's world position and the nearest
+    # previous-scan measurement position (per particle), divided by the
+    # scan interval cfg.dt — zero-velocity births must re-acquire a
+    # mover's velocity through the jump-Markov recursion, which the
+    # round-3 MC measured at only 0.56 detected fraction. Pairing gated
+    # at birth_velocity_max * dt meters (no pair -> zero velocity).
+    birth_velocity_init: int = 0
+    birth_velocity_max: float = 3.0
     # Mixed jump-Markov fast pipeline (filters/mixed.py): 0 = per-particle
     # reference-shaped route (merge inside vmap — the equivalence oracle),
     # 1 = batch-hoisted two-stage selection + Pallas 2D/4D merges.
@@ -380,6 +398,9 @@ _OPTION_MAP = {
     "eap_tree_cap": "eap_tree_cap",
     "fused_gather_merge": "fused_gather_merge",
     "premerge_consolidate": "premerge_consolidate",
+    "feature_width_switch": "feature_width_switch",
+    "birth_velocity_init": "birth_velocity_init",
+    "birth_velocity_max": "birth_velocity_max",
 }
 
 _LINE_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*?)\s*$")

@@ -604,19 +604,26 @@ def cphd_update(state: FilterState, z, z_mask, consts, cfg: SlamConfig):
     sorted_prefix = 0 < cfg.merge_candidate_cap < K_ + M_ * K_
     if pre["gather"] is not None:
         # deferred Pallas gather + packed-plane merge (see filters/phd.py)
-        from .phd import _finish_candidates_packed
+        from .phd import _finish_candidates_packed, _post_compact_batched
         packed = _finish_candidates_packed(pre, D_, batched=True,
                                            has_birth=False)
         mg = merge_batch_dispatch_packed(packed, D_, cfg, K_,
                                          sorted_prefix=sorted_prefix)
+        # batch-level post half (one payload sort + Pallas one-hot gather
+        # — same reasoning as the PHD path's _post_compact_batched)
+        bits = dict(out_m=pre["out_m"], dlog_w=pre["dlog_w"],
+                    n_compact=pre["n_compact"], s2=None)
+        new_mean, new_cov, new_w, dlog_w, overflow = _post_compact_batched(
+            mg, bits, gm.mean, gm.cov, gm.weight, cfg)
+        log_cn = pre["log_cn"]
     else:
         mg = merge_batch_dispatch(*pre["cand"], cfg, K_,
                                   sorted_prefix=sorted_prefix)
-    upd = jax.vmap(
-        lambda mg_t, pre_t, m, c, w: _cphd_update_single_post(
-            mg_t, pre_t, m, c, w, cfg)
-    )(mg, pre, gm.mean, gm.cov, gm.weight)
-    new_mean, new_cov, new_w, log_cn, dlog_w, overflow = upd
+        upd = jax.vmap(
+            lambda mg_t, pre_t, m, c, w: _cphd_update_single_post(
+                mg_t, pre_t, m, c, w, cfg)
+        )(mg, pre, gm.mean, gm.cov, gm.weight)
+        new_mean, new_cov, new_w, log_cn, dlog_w, overflow = upd
 
     log_w = state.log_weight + dlog_w
     log_w = log_w - logsumexp(log_w, axis=0)

@@ -94,7 +94,7 @@ def _merge_map(mean, cov, weight, mean_det, cov_upd, w_det, det_valid,
 
 
 def _update_mixed_single(pose, mean_s, cov_s, w_s, mean_d, cov_d, w_d,
-                         z, z_label, z_mask, cfg: SlamConfig):
+                         z, z_label, z_mask, cfg: SlamConfig, prev_z=None):
     """Single-particle mixed update. Returns new static map, new dynamic map,
     dlog_w, overflow."""
     Ks = mean_s.shape[0]
@@ -144,6 +144,9 @@ def _update_mixed_single(pose, mean_s, cov_s, w_s, mean_d, cov_d, w_d,
 
     b_mean_s, b_cov_s = measurement.birth_mean_cov(pose, z, cfg)
     b_mean_d, b_cov_d = measurement.birth_mean_cov_4d(pose, z, cfg)
+    if prev_z is not None:
+        b_mean_d = measurement.seed_birth_velocity(b_mean_d, prev_z,
+                                                   z_mask, cfg)
     wb_s = jnp.where(z_mask, jnp.exp(safe_log(bw_s) - log_norm), 0.0)
     wb_d = jnp.where(z_mask, jnp.exp(safe_log(bw_d) - log_norm), 0.0)
 
@@ -235,7 +238,7 @@ def _fast_select(pdw, dv, norm, w_a, act_a, w_birth, act_c, K, M, T, cap,
 
 def _update_mixed_pre(pose, mean_s, cov_s, w_s, mean_d, cov_d, w_d,
                       z, z_label, z_mask, cfg: SlamConfig,
-                      det_s=None, det_d=None):
+                      det_s=None, det_d=None, prev_z=None):
     """Fast-path pre half of the mixed update (single particle, vmapped).
 
     Mirrors the static filter's deferred-gather pipeline
@@ -316,6 +319,9 @@ def _update_mixed_pre(pose, mean_s, cov_s, w_s, mean_d, cov_d, w_d,
 
     b_mean_s, b_cov_s = measurement.birth_mean_cov(pose, z, cfg)
     b_mean_d, b_cov_d = measurement.birth_mean_cov_4d(pose, z, cfg)
+    if prev_z is not None:
+        b_mean_d = measurement.seed_birth_velocity(b_mean_d, prev_z,
+                                                   z_mask, cfg)
 
     def det_select(det, w_a, act_a, wb, act_c, K):
         """Stage 1 from the fused kernel's top-T (joint-norm scaled,
@@ -371,7 +377,8 @@ def _post_pre_out(dlog_w, out_m, n_compact):
                 mean_det=None, det_valid=None)
 
 
-def _batched_mixed_update(pose, gs, gd, z, z_label, z_mask, cfg: SlamConfig):
+def _batched_mixed_update(pose, gs, gd, z, z_label, z_mask,
+                          cfg: SlamConfig, prev_z=None):
     """All-particle mixed update with both merges, candidate gathers and
     selection sorts hoisted OUT of the vmap (the static path's
     _batched_update structure) — the 2D static and 4D dynamic maps each get
@@ -406,19 +413,23 @@ def _batched_mixed_update(pose, gs, gd, z, z_label, z_mask, cfg: SlamConfig):
             det_d = detection_topT_batch(pl_d, z4, T, 0.0, 0.0,
                                          interpret=interp)
 
+    pz_args = () if prev_z is None else (prev_z,)
     if det_s is not None:
         pre = jax.vmap(
             lambda p, ms, cs, ws, md, cd, wd, ds0, ds1, ds2, ds3, dd0, dd1,
-            dd2, dd3: _update_mixed_pre(
+            dd2, dd3, *pz: _update_mixed_pre(
                 p, ms, cs, ws, md, cd, wd, z, z_label, z_mask, cfg,
-                det_s=(ds0, ds1, ds2, ds3), det_d=(dd0, dd1, dd2, dd3))
+                det_s=(ds0, ds1, ds2, ds3), det_d=(dd0, dd1, dd2, dd3),
+                prev_z=pz[0] if pz else None)
         )(pose, gs.mean, gs.cov, gs.weight, gd.mean, gd.cov, gd.weight,
-          *det_s, *det_d)
+          *det_s, *det_d, *pz_args)
     else:
         pre = jax.vmap(
-            lambda p, ms, cs, ws, md, cd, wd: _update_mixed_pre(
-                p, ms, cs, ws, md, cd, wd, z, z_label, z_mask, cfg)
-        )(pose, gs.mean, gs.cov, gs.weight, gd.mean, gd.cov, gd.weight)
+            lambda p, ms, cs, ws, md, cd, wd, *pz: _update_mixed_pre(
+                p, ms, cs, ws, md, cd, wd, z, z_label, z_mask, cfg,
+                prev_z=pz[0] if pz else None)
+        )(pose, gs.mean, gs.cov, gs.weight, gd.mean, gd.cov, gd.weight,
+          *pz_args)
 
     # topcap_sort emits a weight-descending live prefix for both maps
     packed_s = _finish_candidates_packed({"gather": pre["g_s"]}, 2,
@@ -465,14 +476,19 @@ def mixed_update(state: FilterState, z, z_mask, cfg: SlamConfig,
     use_fast = (cfg.particle_weighting in (0, 1) and not cfg.compute_variance
                 and 0 < cap < min(Ks + M * Ks + M, Kd + M * Kd + M)
                 and getattr(cfg, "mixed_fast_path", 1))
+    prev_z = state.prev_z if getattr(cfg, "birth_velocity_init", 0) \
+        else None
     if use_fast:
         upd = _batched_mixed_update(state.pose, gs, gd, z, z_label, z_mask,
-                                    cfg)
+                                    cfg, prev_z=prev_z)
     else:
+        pz_args = () if prev_z is None else (prev_z,)
         upd = jax.vmap(
-            lambda p, ms, cs, ws, md, cd, wd: _update_mixed_single(
-                p, ms, cs, ws, md, cd, wd, z, z_label, z_mask, cfg)
-        )(state.pose, gs.mean, gs.cov, gs.weight, gd.mean, gd.cov, gd.weight)
+            lambda p, ms, cs, ws, md, cd, wd, *pz: _update_mixed_single(
+                p, ms, cs, ws, md, cd, wd, z, z_label, z_mask, cfg,
+                prev_z=pz[0] if pz else None)
+        )(state.pose, gs.mean, gs.cov, gs.weight, gd.mean, gd.cov,
+          gd.weight, *pz_args)
     (sm, sc, sw), (dm, dc, dw), dlog_w, overflow = upd
 
     log_w = state.log_weight + dlog_w
@@ -481,4 +497,16 @@ def mixed_update(state: FilterState, z, z_mask, cfg: SlamConfig,
         map_static=GMState(mean=sm, cov=sc, weight=sw),
         map_dynamic=GMState(mean=dm, cov=dc, weight=dw),
         log_weight=log_w)
+    if state.prev_z is not None:
+        # record this scan's world positions per particle for the next
+        # step's two-scan velocity pairing (padded to the state's M slot)
+        bpos = jax.vmap(
+            lambda p: measurement.birth_mean_cov(p, z, cfg)[0])(state.pose)
+        new_prev = jnp.zeros_like(state.prev_z)
+        M_ = z.shape[0]
+        new_prev = new_prev.at[:, :M_, :2].set(bpos)
+        new_prev = new_prev.at[:, :M_, 2].set(
+            jnp.broadcast_to(z_mask.astype(new_prev.dtype)[None],
+                             (bpos.shape[0], M_)))
+        state = state.replace(prev_z=new_prev)
     return state, jnp.max(overflow)

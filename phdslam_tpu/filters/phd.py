@@ -677,14 +677,13 @@ def _detection_planes_single(pose, mean, cov, weight, cfg: SlamConfig,
     return jnp.stack(rows, axis=0)
 
 
-def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
-                    keys=None):
-    """All-particle update with the merge, the candidate gather and the
-    fused detection+top-T kernel hoisted OUT of the vmap.
-
-    Calling a Pallas kernel inside vmap degenerates to one particle per
-    program (its particle-block never engages, measured 5x slower for the
-    merge); here the vmapped pre/post halves wrap batch-level kernel calls.
+def _pre_merge_phase(pose, mean, cov, weight, z, z_mask,
+                     cfg: SlamConfig, out_cap, keys=None):
+    """Fast-path detection + per-particle pre + batch merge at the GIVEN
+    feature width (mean [P, K', D] may be a live-prefix slice of the map —
+    see :func:`_batched_update`'s feature-width switching). Returns
+    (mg, bits, variance) where ``bits`` carries the width-independent
+    post-half inputs (out_m padded by the caller, dlog_w, n_compact, s2).
     """
     K = mean.shape[-2]
     D = mean.shape[-1]
@@ -692,10 +691,7 @@ def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
     T = cfg.detection_topk
     cap = cfg.merge_candidate_cap
     with_var = cfg.compute_variance and keys is not None
-    # the packed-plane variance estimator covers the D=2 fast path; other
-    # shapes fall back to the per-particle full-grid estimator
-    slow = with_var and not (0 < cap < (K + M * K + M) and D == 2)
-    use_fast = (not slow) and 0 < cap < (K + M * K + M)
+
     det = None
     cons = None
     # same-source pre-consolidation rides the fused detection kernel
@@ -705,7 +701,7 @@ def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
     consolidate = bool(getattr(cfg, "premerge_consolidate", 0)) \
         and D == 2 and cfg.particle_weighting != 2 \
         and cfg.distance_metric == 0
-    if use_fast and 0 < T < K and cfg.pallas_detect:
+    if 0 < T < K and cfg.pallas_detect:
         from ..ops.pallas_detect import detection_topT_batch
         from ..ops.pallas_merge import pallas_available
         interp = cfg.pallas_detect == 2
@@ -726,10 +722,7 @@ def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
                 det = res
     consolidate = consolidate and cons is not None
 
-    if slow:
-        pre = jax.vmap(lambda p, m, c, w, k: _update_single_pre(
-            p, m, c, w, z, z_mask, cfg, k))(pose, mean, cov, weight, keys)
-    elif cons is not None:
+    if cons is not None:
         pre = jax.vmap(
             lambda p, m, c, w, dv, di, dn, dc, cns: _update_single_pre(
                 p, m, c, w, z, z_mask, cfg, det=(dv, di, dn, dc),
@@ -742,65 +735,137 @@ def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
         pre = jax.vmap(lambda p, m, c, w: _update_single_pre(
             p, m, c, w, z, z_mask, cfg))(pose, mean, cov, weight)
 
-    from ..ops.gm_merge import merge_batch_dispatch, \
-        merge_batch_dispatch_packed
+    from ..ops.gm_merge import merge_batch_dispatch_packed
     # prefix-sortedness holds only when a compaction actually ran: with
     # cap >= the full lane count, compact_candidates returns the ORIGINAL
     # (unsorted) lane layout
-    n_full = K + z.shape[0] * K + z.shape[0]
-    sorted_prefix = 0 < cfg.merge_candidate_cap < n_full
-    if pre["gather"] is not None:
-        # deferred gather: batch-level Pallas one-hot row fetch (inside the
-        # vmap the kernel would degenerate to one particle per program),
-        # kept in packed SoA planes end-to-end — [P, cap, D]-shaped
-        # intermediates pad 32-64x under (8, 128) tiling
-        mg = None
-        if D == 2 and not with_var and not consolidate:
-            # fully fused route: the merge kernel's prologue gathers and
-            # combines the candidates in VMEM (ops/pallas_merge.py
-            # _merge_tables_kernel) — the packed planes and two extra
-            # kernel launches disappear. (with_var needs the packed planes
-            # for the batch variance estimator, so it takes the 2-kernel
-            # route; the consolidated route's extra table rows are not
-            # wired into the fused kernel's fixed offsets.)
-            from ..ops.gm_merge import merge_batch_dispatch_tables
-            mg = merge_batch_dispatch_tables(pre["gather"], cfg, K,
-                                             sorted_prefix=sorted_prefix)
-        if mg is None:
-            packed = _finish_candidates_packed(
-                pre, D, batched=True, cons_rows=consolidate)
-            mg = merge_batch_dispatch_packed(packed, D, cfg, K,
-                                             sorted_prefix=sorted_prefix)
-        if with_var and not slow:
-            # fast-path MC variance over the SELECTED lanes (the reference
-            # runs phdVarianceKernel on the full pre-merge candidate
-            # array, :3585-3597). The tail this misses is usually
-            # sub-threshold weight, but NOT by construction: when live
-            # candidates exceed merge_candidate_cap the stage-2 cap also
-            # drops above-min_feature_weight lanes (visible as a non-zero
-            # n_compact/overflow count) and the estimate then under-counts
-            # that dropped mass relative to the reference's full-array
-            # form. Configs that need the exact full-grid estimator under
-            # cap pressure can disable the cap (merge_candidate_cap=0).
-            from .extras import mc_variance_packed
-            variance = mc_variance_packed(
-                packed, pre["gather"]["is_p"], cfg.n_samples, keys[0])
-    else:
+    sorted_prefix = 0 < cap < (K + M * K + M)
+    # deferred gather: batch-level Pallas one-hot row fetch (inside the
+    # vmap the kernel would degenerate to one particle per program), kept
+    # in packed SoA planes end-to-end — [P, cap, D]-shaped intermediates
+    # pad 32-64x under (8, 128) tiling
+    mg = None
+    variance = None
+    if D == 2 and not with_var and not consolidate:
+        # fully fused route: the merge kernel's prologue gathers and
+        # combines the candidates in VMEM (ops/pallas_merge.py
+        # _merge_tables_kernel) — the packed planes and two extra kernel
+        # launches disappear. (with_var needs the packed planes for the
+        # batch variance estimator; the consolidated route's extra table
+        # rows are not wired into the fused kernel's fixed offsets.)
+        from ..ops.gm_merge import merge_batch_dispatch_tables
+        mg = merge_batch_dispatch_tables(pre["gather"], cfg, out_cap,
+                                         sorted_prefix=sorted_prefix)
+    if mg is None:
+        packed = _finish_candidates_packed(
+            pre, D, batched=True, cons_rows=consolidate)
+        mg = merge_batch_dispatch_packed(packed, D, cfg, out_cap,
+                                         sorted_prefix=sorted_prefix)
+    if with_var:
+        # fast-path MC variance over the SELECTED lanes (the reference
+        # runs phdVarianceKernel on the full pre-merge candidate array,
+        # :3585-3597). The tail this misses is usually sub-threshold
+        # weight, but NOT by construction: when live candidates exceed
+        # merge_candidate_cap the stage-2 cap also drops above-
+        # min_feature_weight lanes (visible as a non-zero n_compact/
+        # overflow count) and the estimate then under-counts that dropped
+        # mass relative to the reference's full-array form. Configs that
+        # need the exact full-grid estimator under cap pressure can
+        # disable the cap (merge_candidate_cap=0).
+        from .extras import mc_variance_packed
+        variance = mc_variance_packed(
+            packed, pre["gather"]["is_p"], cfg.n_samples, keys[0])
+
+    bits = dict(out_m=pre["out_m"], dlog_w=pre["dlog_w"],
+                n_compact=pre["n_compact"], s2=pre.get("s2"))
+    return mg, bits, variance
+
+
+def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
+                    keys=None):
+    """All-particle update with the merge, the candidate gather and the
+    fused detection+top-T kernel hoisted OUT of the vmap.
+
+    Calling a Pallas kernel inside vmap degenerates to one particle per
+    program (its particle-block never engages, measured 5x slower for the
+    merge); here the vmapped pre/post halves wrap batch-level kernel
+    calls.
+
+    Feature-width switching: the map's live lanes always occupy a
+    weight-sorted prefix (the post-half compaction sorts, prediction
+    preserves zeros), and a zero-weight lane contributes EXACTLY nothing
+    to any normalizer, candidate or weight — so the whole pre-half +
+    merge can run on the [:, :K'] live prefix, lax.switched on the
+    batch's max live count, bit-exactly. The post half runs at full K
+    (merge out_cap stays K), so output capacity semantics are unchanged.
+    Everything that scales with K (classify, EKF pre-update, the [M, K]
+    detection grid, candidate tables) shrinks to the live fraction.
+    """
+    K = mean.shape[-2]
+    D = mean.shape[-1]
+    M = z.shape[0]
+    cap = cfg.merge_candidate_cap
+    with_var = cfg.compute_variance and keys is not None
+    # the packed-plane variance estimator covers the D=2 fast path; other
+    # shapes fall back to the per-particle full-grid estimator
+    slow = with_var and not (0 < cap < (K + M * K + M) and D == 2)
+    use_fast = (not slow) and 0 < cap < (K + M * K + M)
+
+    if slow or not use_fast:
+        if slow:
+            pre = jax.vmap(lambda p, m, c, w, k: _update_single_pre(
+                p, m, c, w, z, z_mask, cfg, k))(pose, mean, cov, weight,
+                                                keys)
+        else:
+            pre = jax.vmap(lambda p, m, c, w: _update_single_pre(
+                p, m, c, w, z, z_mask, cfg))(pose, mean, cov, weight)
+        from ..ops.gm_merge import merge_batch_dispatch
+        n_full = K + M * K + M
         cm, cc, cw, ca = pre["cand"]
         mg = merge_batch_dispatch(cm, cc, cw, ca, cfg, K,
-                                  sorted_prefix=sorted_prefix)
-
-    if pre["gather"] is not None:
-        # batch-level post half: one payload sort + Pallas one-hot gather
-        # (the per-particle [K, 2K] one-hot matmul route materializes its
-        # dot operand at [P, K, 2K] — 11.3 ms of the dense update)
-        out = _post_compact_batched(mg, pre, mean, cov, weight, cfg)
-    else:
-        out = jax.vmap(
+                                  sorted_prefix=0 < cap < n_full)
+        return jax.vmap(
             lambda mg_t, pre_t, m, c, w: _update_single_post(
                 mg_t, pre_t, m, c, w, cfg)
         )(mg, pre, mean, cov, weight)
-    if with_var and not slow:
+
+    widths = []
+    if D == 2 and not with_var and K >= 256 \
+            and getattr(cfg, "feature_width_switch", 1):
+        for frac in (4, 2):
+            w = -(-(K // frac) // 128) * 128        # ceil to lane tile
+            if cfg.detection_topk < w < K and w not in widths:
+                widths.append(w)
+    widths.append(K)
+
+    if len(widths) > 1:
+        n_live = jnp.max(jnp.sum((weight > 0).astype(jnp.int32), axis=1))
+        sel = sum((n_live > w).astype(jnp.int32) for w in widths[:-1])
+
+        def make_branch(w):
+            def branch(p_, m_, c_, w_):
+                mg_, bits_, _ = _pre_merge_phase(
+                    p_, m_[:, :w], c_[:, :w], w_[:, :w], z, z_mask, cfg,
+                    out_cap=K)
+                if w != K:
+                    bits_["out_m"] = jnp.pad(
+                        bits_["out_m"], ((0, 0), (0, K - w)))
+                return mg_, bits_
+            return branch
+
+        mg, bits = jax.lax.switch(sel, [make_branch(w) for w in widths],
+                                  pose, mean, cov, weight)
+        variance = None
+    else:
+        mg, bits, variance = _pre_merge_phase(
+            pose, mean, cov, weight, z, z_mask, cfg, out_cap=K, keys=keys)
+
+    # batch-level post half at FULL width: one payload sort + Pallas
+    # one-hot gather (the per-particle [K, 2K] one-hot matmul route
+    # materializes its dot operand at [P, K, 2K] — 11.3 ms of the dense
+    # update at P=1024)
+    out = _post_compact_batched(mg, bits, mean, cov, weight, cfg)
+    if with_var:
         return out + (variance,)
     return out
 
@@ -903,6 +968,7 @@ def _gather_particles(state: FilterState, idx) -> FilterState:
         variance=take(state.variance),
         cardinality=(None if state.cardinality is None
                      else take(state.cardinality)),
+        prev_z=(None if state.prev_z is None else take(state.prev_z)),
     )
 
 
@@ -981,7 +1047,8 @@ def phd_step(state: FilterState, z, z_mask, control, dt, do_predict,
             variance=rep(state.variance),
             resample_idx=jnp.arange(P_base * k_shot, dtype=jnp.int32),
             cardinality=(None if state.cardinality is None
-                         else rep(state.cardinality)))
+                         else rep(state.cardinality)),
+            prev_z=(None if state.prev_z is None else rep(state.prev_z)))
 
     predicted = predict(state, control, dt, cfg, k_pred)
     state = jax.tree.map(

@@ -118,3 +118,32 @@ def birth_mean_cov_4d(pose, z, cfg):
     cov = cov.at[..., 2, 2].set(cfg.cov_vx_birth)
     cov = cov.at[..., 3, 3].set(cfg.cov_vy_birth)
     return mean, cov
+
+
+def seed_birth_velocity(b_mean_d, prev_z, z_mask, cfg):
+    """Two-scan velocity initialization for 4D dynamic births
+    (cfg.birth_velocity_init; extends the reference's zero-velocity birth,
+    phdfilter.cu:267-281, whose movers must re-acquire velocity through
+    the jump-Markov recursion).
+
+    ``b_mean_d`` [M, 4] (world x, y, 0, 0), ``prev_z`` [Mp, 3] = previous
+    scan's measurement positions in world coordinates (x, y, valid) for
+    THIS particle. The velocity mean becomes (p - q) / dt for the nearest
+    valid previous point q within ``birth_velocity_max * dt`` meters
+    (else stays zero — clutter or a newly-visible object). dt is the
+    nominal scan interval ``cfg.dt`` (measurement-less steps in between
+    leave prev_z stale; the mixed MC protocol is all-measurement steps).
+    """
+    dt = max(float(cfg.dt), 1e-6)
+    p = b_mean_d[:, :2]                                  # [M, 2]
+    q = prev_z[:, :2]                                    # [Mp, 2]
+    valid = prev_z[:, 2] > 0.5
+    d2 = jnp.sum((p[:, None, :] - q[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid[None, :], d2, jnp.inf)
+    j = jnp.argmin(d2, axis=1)                           # [M]
+    dmin2 = jnp.min(d2, axis=1)
+    gate = cfg.birth_velocity_max * dt
+    ok = z_mask & (dmin2 <= gate * gate)
+    v = (p - q[j]) / dt
+    v = jnp.where(ok[:, None], v, 0.0)
+    return b_mean_d.at[:, 2:].set(v)

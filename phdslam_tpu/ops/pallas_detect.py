@@ -186,7 +186,13 @@ def _pick_block(P, M, K, T, planes_per=9):
     (K=1024, cfg/dense.cfg) drop to B=4/2.
     """
     budget = 13 * 1024 * 1024
-    for B in (_BLOCK, 4, 2):
+    # measured NON-monotone VMEM at narrow K (v5e, M=72, T=32): K=256/B=8
+    # needs 16.6M stack (over the 16M scoped limit) while K=512/B=8 and
+    # K=1024/B=4 fit — Mosaic's scheduling keeps more live copies per
+    # block at 2-lane-tile widths. Halve the block in the 193..511 band
+    # (128-wide kernels have run at B=8 since round 1).
+    cap_b = 4 if 192 < K < 512 and M * T >= 1024 else _BLOCK
+    for B in (min(_BLOCK, cap_b), 4, 2):
         if B <= P and planes_per * B * M * K * 4 + B * 13 * K * 4 <= budget:
             return B
     return 1

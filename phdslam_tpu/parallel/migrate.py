@@ -156,6 +156,9 @@ def gather_particles_sharded(state, ancestors, mesh, cfg):
     if state.cardinality is not None:
         names.append("cardinality")
         leaves.append(state.cardinality)
+    if state.prev_z is not None:
+        names.append("prev_z")
+        leaves.append(state.prev_z)
 
     def rebuild(new_leaves):
         kv = dict(zip(names, new_leaves))
@@ -168,7 +171,8 @@ def gather_particles_sharded(state, ancestors, mesh, cfg):
                 mean=kv["map_dynamic.mean"], cov=kv["map_dynamic.cov"],
                 weight=kv["map_dynamic.weight"]),
             variance=kv["variance"],
-            cardinality=kv.get("cardinality", state.cardinality))
+            cardinality=kv.get("cardinality", state.cardinality),
+            prev_z=kv.get("prev_z", state.prev_z))
 
     def fast(st):
         return rebuild(gather_rows_neighbor(mesh, anc, leaves, budget))

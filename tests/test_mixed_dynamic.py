@@ -233,3 +233,76 @@ def test_evaluate_mixed_end_to_end():
     assert r["dynamic_ospa"] < 4.8, r       # movers at least partially held
     assert r["n_dyn_est"] >= 1, r
     assert np.isfinite(r["n_eff"])
+
+
+def test_two_scan_velocity_birth_seeding():
+    """cfg.birth_velocity_init: dynamic births pair each measurement with
+    the nearest previous-scan world position and seed the velocity mean
+    with the displacement / dt (gated at birth_velocity_max * dt); no
+    pair or gate exceeded -> reference zero-velocity birth."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phdslam_tpu.config import SlamConfig
+    from phdslam_tpu.models import measurement
+
+    cfg = SlamConfig(dt=0.5, birth_velocity_init=1, birth_velocity_max=3.0,
+                     std_range=0.25, std_bearing=0.02,
+                     birth_noise_factor=1.0, cov_vx_birth=0.25,
+                     cov_vy_birth=0.25)
+    pose = jnp.zeros((6,))
+    # measurements at world (4, 0) and (0, 6) (range/bearing from origin)
+    z = jnp.asarray([[4.0, 0.0], [6.0, np.pi / 2], [1.0, 0.0]], jnp.float32)
+    zm = jnp.asarray([True, True, False])
+    b_mean, _ = measurement.birth_mean_cov_4d(pose, z, cfg)
+    # previous scan: (3.5, 0.2) pairs with (4, 0) -> v = (1.0, -0.4);
+    # nothing within 1.5 m of (0, 6) -> zero velocity
+    prev = jnp.asarray([[3.5, 0.2, 1.0], [9.0, 9.0, 1.0],
+                        [0.0, 0.0, 0.0]], jnp.float32)
+    seeded = measurement.seed_birth_velocity(b_mean, prev, zm, cfg)
+    np.testing.assert_allclose(np.asarray(seeded[0, 2:]), [1.0, -0.4],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(seeded[1, 2:]), [0.0, 0.0],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(seeded[:, :2]),
+                               np.asarray(b_mean[:, :2]), atol=1e-6)
+    # invalid previous points never pair even when nearby: prev lane 2 at
+    # the origin is marked invalid, and measurement 2 is masked anyway
+    np.testing.assert_allclose(np.asarray(seeded[2, 2:]), [0.0, 0.0],
+                               atol=1e-6)
+
+
+def test_mixed_e2e_with_velocity_init_runs():
+    """The full mixed step with birth_velocity_init on: prev_z threads
+    through update/resample/shotgun without shape errors and the filter
+    stays finite."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phdslam_tpu.config import SlamConfig
+    from phdslam_tpu.filters.phd import make_step_fn
+    from phdslam_tpu.types import init_state
+
+    cfg = SlamConfig(
+        n_particles=8, max_features=16, max_measurements=6,
+        motion_type=0, feature_model=2, filter_type=0,
+        vx0=1.0, ax=0.3, ayaw=0.03, max_range=12.0, std_range=0.5,
+        std_bearing=0.02, clutter_rate=2.0, pd=0.95, birth_weight=0.05,
+        min_separation=2.0, resample_threshold=0.9, tau=0.2,
+        cov_vx_birth=0.25, cov_vy_birth=0.25, birth_velocity_init=1,
+        seed=0)
+    state = init_state(cfg)
+    assert state.prev_z is not None
+    step = make_step_fn(cfg, donate=False)
+    z = jnp.asarray([[5.0, 0.2], [7.0, -0.3]] + [[0, 0]] * 4, jnp.float32)
+    zm = jnp.asarray([True, True] + [False] * 4)
+    ctrl = jnp.zeros((2,), jnp.float32)
+    for n in range(4):
+        state, out = step(state, z, zm, ctrl, jnp.float32(0.5),
+                          jnp.asarray(n > 0))
+    assert np.isfinite(np.asarray(out.expected_pose)).all()
+    assert np.isfinite(np.asarray(state.log_weight)).all()
+    # prev_z recorded the scan
+    pz = np.asarray(state.prev_z)
+    assert (pz[:, :2, 2] > 0.5).all() and (pz[:, 2:, 2] < 0.5).all()

@@ -77,6 +77,53 @@ def make_cfg(n_particles, K=128, M=64, cap=512, **kw):
     return SlamConfig(**base)
 
 
+def analyze_collectives(hlo):
+    """Split an HLO module into unconditional vs cond-branch collectives.
+    Returns (uncond, cond_only) dicts: kind -> (count, bytes)."""
+    comps = {}
+    name = None
+    for line in hlo.splitlines():
+        if line.rstrip().endswith("{") and ("(" in line):
+            m2 = re.match(r"\s*(?:ENTRY\s+)?%?([\w\.\-]+)", line)
+            name = m2.group(1) if m2 else None
+            comps[name] = []
+        elif name is not None:
+            comps[name].append(line.strip())
+    branch_comps = set()
+    for lines in comps.values():
+        for ls in lines:
+            if "conditional(" in ls:
+                branch_comps.update(re.findall(
+                    r"(?:true_computation|false_computation|branch_computations=\{?)=?%([\w\.\-]+)",
+                    ls))
+                branch_comps.update(re.findall(r"%([\w\.\-]+)", ls.split(
+                    "computations={")[-1]) if "computations={" in ls else [])
+    uncond, cond_only = {}, {}
+    for cname, lines in comps.items():
+        bucket = cond_only if cname in branch_comps else uncond
+        for ls in lines:
+            for kind in COLLECTIVES:
+                if re.search(rf"= \(?[\w\[\],\s]*\)?\s*{kind}\(", ls) \
+                        or f" {kind}(" in ls:
+                    shapes = re.findall(r"(\w+\[[\d,]*\])",
+                                        ls.split("=", 1)[1].split(kind)[0])
+                    b = sum(shape_bytes(s) for s in shapes)
+                    c, t = bucket.get(kind, (0, 0))
+                    bucket[kind] = (c + 1, t + b)
+    return uncond, cond_only
+
+
+def print_buckets(uncond, cond_only):
+    print(f"{'collective':22s} {'count':>5s} {'bytes/step':>12s}")
+    for tag, bucket in (("every step", uncond),
+                        ("resample steps only", cond_only)):
+        if bucket:
+            print(f"-- {tag}:")
+            for kind, (c, b) in bucket.items():
+                print(f"{kind:22s} {c:5d} {b:12,d}")
+    return sum(b for _, b in uncond.values())
+
+
 def main(n_dev=8, p_per_dev=128, cfg=None, execute=True):
     from phdslam_tpu.parallel import (init_sharded_state, make_mesh,
                                       make_sharded_step_fn)
@@ -121,49 +168,10 @@ def main(n_dev=8, p_per_dev=128, cfg=None, execute=True):
           f"cap={cfg.merge_candidate_cap}, "
           f"map_estimate={cfg.map_estimate})\n")
 
-    # split the module into computations and attribute collectives: ops in
-    # a computation referenced by a `conditional(...)` only execute when
-    # that branch is taken (the resample migration lives there)
-    comps = {}
-    name = None
-    for line in hlo.splitlines():
-        if line.rstrip().endswith("{") and ("(" in line):
-            m2 = re.match(r"\s*(?:ENTRY\s+)?%?([\w\.\-]+)", line)
-            name = m2.group(1) if m2 else None
-            comps[name] = []
-        elif name is not None:
-            comps[name].append(line.strip())
-    branch_comps = set()
-    for lines in comps.values():
-        for ls in lines:
-            if "conditional(" in ls:
-                branch_comps.update(re.findall(
-                    r"(?:true_computation|false_computation|branch_computations=\{?)=?%([\w\.\-]+)",
-                    ls))
-                branch_comps.update(re.findall(r"%([\w\.\-]+)", ls.split(
-                    "computations={")[-1]) if "computations={" in ls else [])
-
-    uncond, cond_only = {}, {}
-    for cname, lines in comps.items():
-        bucket = cond_only if cname in branch_comps else uncond
-        for ls in lines:
-            for kind in COLLECTIVES:
-                if re.search(rf"= \(?[\w\[\],\s]*\)?\s*{kind}\(", ls) \
-                        or f" {kind}(" in ls:
-                    shapes = re.findall(r"(\w+\[[\d,]*\])",
-                                        ls.split("=", 1)[1].split(kind)[0])
-                    b = sum(shape_bytes(s) for s in shapes)
-                    c, t = bucket.get(kind, (0, 0))
-                    bucket[kind] = (c + 1, t + b)
-
-    print(f"{'collective':22s} {'count':>5s} {'bytes/step':>12s}")
-    for tag, bucket in (("every step", uncond),
-                        ("resample steps only", cond_only)):
-        if bucket:
-            print(f"-- {tag}:")
-            for kind, (c, b) in bucket.items():
-                print(f"{kind:22s} {c:5d} {b:12,d}")
-    coll_bytes = sum(b for _, b in uncond.values())
+    # ops in a computation referenced by a `conditional(...)` only execute
+    # when that branch is taken (the resample migration lives there)
+    uncond, cond_only = analyze_collectives(hlo)
+    coll_bytes = print_buckets(uncond, cond_only)
 
     state_bytes = sum(np.prod(x.shape) * 4 for x in jax.tree.leaves(state)
                       if hasattr(x, "shape"))
@@ -180,6 +188,46 @@ def main(n_dev=8, p_per_dev=128, cfg=None, execute=True):
           "fallback and does not execute on equilibrium resampling steps)")
     print(json.dumps({"metric": "collective_bytes_per_step_8dev",
                       "value": int(coll_bytes), "unit": "bytes"}))
+
+
+def disparity_inventory(n_dev=8, P=64, K=16, N=32, M=16):
+    """Collective inventory + executed step for the sharded SC-PHD
+    disparity pipeline (round-4 verdict item: the monocular variant's
+    mesh path needs an inventory row like the synth variants)."""
+    from phdslam_tpu.config import SlamConfig
+    from phdslam_tpu.parallel import make_mesh
+    from phdslam_tpu.parallel.sharding import (
+        init_sharded_disparity_state, make_sharded_disparity_step_fn)
+
+    cfg = SlamConfig(
+        n_particles=P, max_features=K, max_measurements=M,
+        particles_per_feature=N, motion_type=0, filter_type=0,
+        pd=0.9, clutter_rate=2.0, birth_weight=0.05, min_separation=8.0,
+        fx=500.0, fy=500.0, u0=320.0, v0=240.0, image_width=640,
+        image_height=480, std_u=1.0, std_v=1.0, disparity_birth=100.0,
+        std_d_birth=30.0, vx0=0.25, resample_threshold=1.1, seed=0)
+    mesh = make_mesh(n_dev)
+    step = make_sharded_disparity_step_fn(cfg, mesh, donate=False)
+    state = init_sharded_disparity_state(cfg, mesh)
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.uniform([100, 100], [540, 380], (M, 2)),
+                    jnp.float32)
+    zm = jnp.asarray(np.arange(M) < 8)
+    args = (state, z, zm, jnp.float32(1.0), jnp.asarray(True))
+    compiled = step.lower(*args).compile()
+    st2, out = step(*args)
+    jax.block_until_ready(out.expected_pose)
+    assert np.isfinite(np.asarray(out.expected_pose)).all()
+    print(f"sharded DISPARITY step compiled + executed on {n_dev}-device "
+          f"mesh (P={P}, K={K}, N={N}, M={M}; resampling forced -> the "
+          f"migration path is in the per-step trace)\n")
+    uncond, cond_only = analyze_collectives(compiled.as_text())
+    coll = print_buckets(uncond, cond_only)
+    cloud_bytes = (P // n_dev) * K * N * 3 * 4
+    print(f"\ntotal unconditional collective payload/step: {coll:,d} B")
+    print(f"per-device cloud state [P/N, K, N, 3]:       {cloud_bytes:,d} B")
+    print(json.dumps({"metric": "disparity_collective_bytes_per_step_8dev",
+                      "value": int(coll), "unit": "bytes"}))
 
 
 def weak_scaling(p_per_dev=128, steps=8):
@@ -234,8 +282,13 @@ if __name__ == "__main__":
                          "the inventory)")
     ap.add_argument("--weak", action="store_true",
                     help="1/2/4/8-device weak-scaling wall clock")
+    ap.add_argument("--disparity", action="store_true",
+                    help="executed collective inventory for the sharded "
+                         "SC-PHD disparity step")
     args = ap.parse_args()
-    if args.dense:
+    if args.disparity:
+        disparity_inventory()
+    elif args.dense:
         cfg = make_cfg(10240, K=1024, M=96, cap=1536,
                        map_estimate=(2 if args.eap else 1),
                        detection_topk=48)
