@@ -498,25 +498,59 @@ def _post_compact_batched(mg, pre, mean, cov, weight, cfg: SlamConfig):
     """
     P, K, D = mean.shape
     dtype = mean.dtype
-    mg_mean, mg_cov, mg_w, _n_merged, n_dropped = mg
+    mg_mean, mg_cov, mg_w, n_merged, n_dropped = mg
     out_m = pre["out_m"]
-    all_w = jnp.concatenate([mg_w, jnp.where(out_m, weight, 0.0)], axis=1)
-    n_all = all_w.shape[1]
 
-    iota = jnp.broadcast_to(jnp.arange(n_all, dtype=jnp.int32)[None],
-                            (P, n_all))
-    neg_s, order = jax.lax.sort((-all_w, iota), num_keys=1, dimension=-1)
-    new_w = jnp.maximum(-neg_s[:, :K], 0.0)
-    order = order[:, :K]
+    def compact_at(w_sl):
+        """Sort + gather over the [:, :w_sl] prefixes of BOTH inputs —
+        exact when every merged cluster (emission order = a prefix) and
+        every live map lane (weight-sorted prefix) fits in w_sl."""
+        aw = jnp.concatenate(
+            [mg_w[:, :w_sl],
+             jnp.where(out_m[:, :w_sl], weight[:, :w_sl], 0.0)], axis=1)
+        n_all = aw.shape[1]
+        n_out = min(K, n_all)
+        iota = jnp.broadcast_to(jnp.arange(n_all, dtype=jnp.int32)[None],
+                                (P, n_all))
+        neg_s, order = jax.lax.sort((-aw, iota), num_keys=1, dimension=-1)
+        nw = jnp.maximum(-neg_s[:, :n_out], 0.0)
+        order = order[:, :n_out]
+        rows = [jnp.concatenate([mg_mean[:, :w_sl, i], mean[:, :w_sl, i]],
+                                axis=1) for i in range(D)]
+        rows += [jnp.concatenate(
+            [mg_cov[:, :w_sl, a, b], cov[:, :w_sl, a, b]], axis=1)
+            for a in range(D) for b in range(a, D)]
+        tab = jnp.stack(rows, axis=1)               # [P, C, 2*w_sl]
+        from ..ops.pallas_select import onehot_cols_batch
+        got = onehot_cols_batch(order, tab,
+                                interpret=cfg.pallas_merge == 2)
+        if n_out < K:
+            nw = jnp.pad(nw, ((0, 0), (0, K - n_out)))
+            got = jnp.pad(got, ((0, 0), (0, 0), (0, K - n_out)))
+        live_cnt = jnp.sum((aw > 0).astype(jnp.int32), axis=1)
+        return nw, got, live_cnt
 
-    rows = [jnp.concatenate([mg_mean[..., i], mean[..., i]], axis=1)
-            for i in range(D)]
-    rows += [jnp.concatenate([mg_cov[..., a, b], cov[..., a, b]], axis=1)
-             for a in range(D) for b in range(a, D)]
-    tab = jnp.stack(rows, axis=1)                       # [P, C, 2K]
-    from ..ops.pallas_select import onehot_cols_batch
-    got = onehot_cols_batch(order, tab,
-                            interpret=cfg.pallas_merge == 2)  # [P, C, K]
+    # post-width switching: merged clusters occupy an emission-order
+    # prefix of mg and live map lanes a weight-sorted prefix, so the
+    # [P, 2K] sort + gather shrink to the live extent (measured 92 ms of
+    # the dense P=10240 step at full width)
+    pwidths = []
+    if D == 2 and K >= 256 and getattr(cfg, "feature_width_switch", 1):
+        for frac in (4, 2, 1.3333333):
+            w = -(-int(K // frac) // 128) * 128
+            if 0 < w < K and w not in pwidths:
+                pwidths.append(w)
+    pwidths.append(K)
+    if len(pwidths) > 1:
+        n_req = jnp.maximum(
+            jnp.max(n_merged),
+            jnp.max(jnp.sum((weight > 0).astype(jnp.int32), axis=1)))
+        sel_p = sum((n_req > w).astype(jnp.int32) for w in pwidths[:-1])
+        new_w, got, total_live = jax.lax.switch(
+            sel_p, [(lambda w: (lambda: compact_at(w)))(w)
+                    for w in pwidths])
+    else:
+        new_w, got, total_live = compact_at(K)
 
     empty = new_w <= 0
     mean_pl = [jnp.where(empty, 0.0, got[:, i]) for i in range(D)]
@@ -531,7 +565,6 @@ def _post_compact_batched(mg, pre, mean, cov, weight, cfg: SlamConfig):
     new_cov = jnp.stack([jnp.stack(row, axis=-1) for row in full], axis=-2)
     new_w = jnp.where(empty, 0.0, new_w)
 
-    total_live = jnp.sum((all_w > 0).astype(jnp.int32), axis=1)
     overflow = jnp.maximum(total_live - K, 0) + n_dropped \
         + pre["n_compact"]
 
@@ -744,23 +777,62 @@ def _pre_merge_phase(pose, mean, cov, weight, z, z_mask,
     # vmap the kernel would degenerate to one particle per program), kept
     # in packed SoA planes end-to-end — [P, cap, D]-shaped intermediates
     # pad 32-64x under (8, 128) tiling
-    mg = None
+
+    def gather_and_merge(g, cons_rows):
+        """One gather+combine+merge at g's lane width (the merge's own
+        width dispatch is bypassed — the caller already sliced)."""
+        pre_g = dict(pre)
+        pre_g["gather"] = g
+        mg_ = None
+        if D == 2 and not with_var and not cons_rows:
+            from ..ops.gm_merge import merge_batch_dispatch_tables
+            mg_ = merge_batch_dispatch_tables(
+                g, cfg, out_cap, sorted_prefix=sorted_prefix)
+        packed_ = None
+        if mg_ is None:
+            packed_ = _finish_candidates_packed(
+                pre_g, D, batched=True, cons_rows=cons_rows)
+            mg_ = merge_batch_dispatch_packed(
+                packed_, D, cfg, out_cap, sorted_prefix=sorted_prefix)
+        return mg_, packed_
+
+    # candidate-width switching: stage-2 top-cap compaction leaves live
+    # candidates in a weight-sorted prefix, so the GATHER + combine +
+    # merge can run on the [:, :cap'] slice, lax.switched on the batch's
+    # max live candidate count — the measured dense-P=10240 profile put
+    # the full-cap gather at 73 ms and the merge at 105 ms while only
+    # ~300 of 1536 lanes were live
+    g_full = pre["gather"]   # the fast path always defers its gather
+    cwidths = []
+    if sorted_prefix and not with_var and cap >= 256 \
+            and getattr(cfg, "feature_width_switch", 1):
+        from ..ops.gm_merge import WIDTH_FRACS
+        for frac in WIDTH_FRACS:
+            w = -(-int(cap // frac) // 128) * 128
+            if 0 < w < cap and w not in cwidths:
+                cwidths.append(w)
+    cwidths.append(cap)
+
     variance = None
-    if D == 2 and not with_var and not consolidate:
-        # fully fused route: the merge kernel's prologue gathers and
-        # combines the candidates in VMEM (ops/pallas_merge.py
-        # _merge_tables_kernel) — the packed planes and two extra kernel
-        # launches disappear. (with_var needs the packed planes for the
-        # batch variance estimator; the consolidated route's extra table
-        # rows are not wired into the fused kernel's fixed offsets.)
-        from ..ops.gm_merge import merge_batch_dispatch_tables
-        mg = merge_batch_dispatch_tables(pre["gather"], cfg, out_cap,
-                                         sorted_prefix=sorted_prefix)
-    if mg is None:
-        packed = _finish_candidates_packed(
-            pre, D, batched=True, cons_rows=consolidate)
-        mg = merge_batch_dispatch_packed(packed, D, cfg, out_cap,
-                                         sorted_prefix=sorted_prefix)
+    if len(cwidths) > 1:
+        n_live_c = jnp.max(jnp.sum(
+            (g_full["sel_act"] & (g_full["cand_w"] > 0)).astype(jnp.int32),
+            axis=1))
+        sel_c = sum((n_live_c > w).astype(jnp.int32) for w in cwidths[:-1])
+        lane_keys = ("k_eff", "m_eff", "is_p", "is_d", "sel_act", "cand_w")
+
+        def make_cbranch(w):
+            def branch(g):
+                g_w = {k: (v[:, :w] if k in lane_keys else v)
+                       for k, v in g.items()}
+                mg_, _ = gather_and_merge(g_w, consolidate)
+                return mg_
+            return branch
+
+        mg = jax.lax.switch(sel_c, [make_cbranch(w) for w in cwidths],
+                            g_full)
+    else:
+        mg, packed = gather_and_merge(g_full, consolidate)
     if with_var:
         # fast-path MC variance over the SELECTED lanes (the reference
         # runs phdVarianceKernel on the full pre-merge candidate array,
@@ -832,8 +904,8 @@ def _batched_update(pose, mean, cov, weight, z, z_mask, cfg: SlamConfig,
     widths = []
     if D == 2 and not with_var and K >= 256 \
             and getattr(cfg, "feature_width_switch", 1):
-        for frac in (4, 2):
-            w = -(-(K // frac) // 128) * 128        # ceil to lane tile
+        for frac in (4, 2, 1.3333333):
+            w = -(-int(K // frac) // 128) * 128     # ceil to lane tile
             if cfg.detection_topk < w < K and w not in widths:
                 widths.append(w)
     widths.append(K)
