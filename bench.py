@@ -162,7 +162,7 @@ def main():
         # single tunnel draw has a ±10-15% band (round-3 verdict: the
         # artifact of record must carry the margin, not the prose)
         ("cphd_10240p", lambda: _row(cphd, "data/ackerman", 10240,
-                                     "chunked", reps=2, chunk=16)),
+                                     "chunked", reps=3, chunk=16)),
         ("mixed_512p", _mixed_row),
         ("mixed_10240p", lambda: _mixed_row(P=10240, T=30)),
         ("disparity_200p", lambda: _disparity_row(200)),

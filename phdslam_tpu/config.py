@@ -248,10 +248,14 @@ class SlamConfig:
     # phdfilter.cu:267-281); 1 = seed the birth velocity mean from the
     # difference between the measurement's world position and the nearest
     # previous-scan measurement position (per particle), divided by the
-    # scan interval cfg.dt — zero-velocity births must re-acquire a
-    # mover's velocity through the jump-Markov recursion, which the
-    # round-3 MC measured at only 0.56 detected fraction. Pairing gated
-    # at birth_velocity_max * dt meters (no pair -> zero velocity).
+    # scan interval cfg.dt. Pairing gated at birth_velocity_max * dt
+    # meters (no pair -> zero velocity). MEASURED A/B (round 4,
+    # tools/mc_mixed.py, 10-run): detected fraction 0.80 -> 0.60 — the
+    # finite difference amplifies measurement noise by 1/dt (sigma_r
+    # sqrt(2)/dt ~ 4.7 m/s at the MC protocol's sigma_r=0.5, dt=0.15 vs
+    # mover speeds < 1 m/s, SNR ~ 0.1), so the seed is noise; ships OFF.
+    # Worth revisiting only for low-noise / long-dt sensors where
+    # v * dt >> sigma_r.
     birth_velocity_init: int = 0
     birth_velocity_max: float = 3.0
     # Mixed jump-Markov fast pipeline (filters/mixed.py): 0 = per-particle

@@ -262,16 +262,26 @@ def evaluate_mixed(n_landmarks: int = 30, n_movers: int = 2,
     else:
         o_d = o_dr = float("nan")
     # track-level stats over visible movers: detected = an estimate within
-    # 2 m; position error of detected tracks
-    det, perr = [], []
-    for mvp in truth_dyn:
+    # 2 m; position error of detected tracks. Also scored: (a) per-speed
+    # strata (a |v| < tau mover is DEFINITIONALLY static to the
+    # jump-Markov model — the reference's own semantics,
+    # phdfilter.cu:910-963 — so slow-stratum misses are expected), and
+    # (b) detection in EITHER map (the mixed filter's full output: slow
+    # movers legitimately land in the static map)
+    speeds = np.linalg.norm(np.asarray(w["mover_v"]), axis=1)[vis]
+    det, perr, det_any, det_speed = [], [], [], []
+    for mvp, spd in zip(truth_dyn, speeds):
         if len(est_dyn):
             dmin = float(np.min(np.linalg.norm(est_dyn - mvp, axis=1)))
-            det.append(dmin < 2.0)
-            if dmin < 2.0:
-                perr.append(dmin)
         else:
-            det.append(False)
+            dmin = float("inf")
+        det.append(dmin < 2.0)
+        det_speed.append(spd)
+        if dmin < 2.0:
+            perr.append(dmin)
+        dmin_s = (float(np.min(np.linalg.norm(est_static - mvp, axis=1)))
+                  if len(est_static) else float("inf"))
+        det_any.append(min(dmin, dmin_s) < 2.0)
 
     # velocity error of position-matched dynamic estimates
     vel_errs = []
@@ -289,6 +299,10 @@ def evaluate_mixed(n_landmarks: int = 30, n_movers: int = 2,
         "n_dyn_visible": int(vis.sum()),
         "dyn_detected_frac": (float(np.mean(det)) if det
                               else float("nan")),
+        "dyn_detected_any_frac": (float(np.mean(det_any)) if det_any
+                                  else float("nan")),
+        "det_flags": det, "det_any_flags": det_any,
+        "det_speeds": det_speed,
         "dyn_track_err": (float(np.mean(perr)) if perr else float("nan")),
         "n_static_true": int(w["seen"].sum()),
         "n_static_est": len(est_static),
@@ -330,8 +344,31 @@ def evaluate_mixed_mc(n_runs: int = 50, n_landmarks: int = 30,
         return (float(v.mean()), float(v.std())) if len(v) else \
             (float("nan"), float("nan"))
 
+    # speed-stratified detection over ALL visible movers of the campaign
+    flags = np.concatenate([np.asarray(r["det_flags"], bool)
+                            for r in rows]) if rows else np.zeros(0, bool)
+    flags_any = np.concatenate([np.asarray(r["det_any_flags"], bool)
+                                for r in rows]) if rows else flags
+    spd = np.concatenate([np.asarray(r["det_speeds"], np.float64)
+                          for r in rows]) if rows else np.zeros(0)
+    strata = {}
+    for name, lo, hi in (("slow_0.2-0.35", 0.2, 0.35),
+                         ("mid_0.35-0.5", 0.35, 0.5),
+                         ("fast_0.5+", 0.5, np.inf)):
+        m = (spd >= lo) & (spd < hi)
+        strata[name] = {
+            "n": int(m.sum()),
+            "dyn": float(flags[m].mean()) if m.any() else float("nan"),
+            "either": (float(flags_any[m].mean()) if m.any()
+                       else float("nan"))}
+
     return {
         "n_runs": n_runs,
+        "det_strata": strata,
+        "det_overall": {"dyn": float(flags.mean()) if len(flags) else
+                        float("nan"),
+                        "either": float(flags_any.mean()) if len(flags_any)
+                        else float("nan")},
         "pose": agg("mean_pose_err"),
         "static_ospa": agg("static_ospa"),
         "dynamic_ospa": agg("dynamic_ospa"),

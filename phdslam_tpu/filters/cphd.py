@@ -150,6 +150,21 @@ def log_esf(log_lambda, lam_mask):
     return e
 
 
+def log_esf_prefix_suffix(log_lambda, lam_mask):
+    """Prefix/suffix ESF decomposition: pref[m] = ESF({0..m-1}),
+    suf[m] = ESF({m+1..M-1}) — the two M-step scans shared by
+    :func:`log_esf_omit` and the fused ip1d correlation in
+    :func:`psi_terms` (pref_suf route)."""
+    M = log_lambda.shape[-1]
+    e0 = _esf_identity(M, log_lambda.dtype)
+    _, pref_raw = jax.lax.scan(_esf_scan_body, e0, (log_lambda, lam_mask))
+    pref = jnp.concatenate([e0[None], pref_raw[:-1]], axis=0)   # [M, M+1]
+    _, suf_raw = jax.lax.scan(_esf_scan_body, e0, (log_lambda, lam_mask),
+                              reverse=True)
+    suf = jnp.concatenate([suf_raw[1:], e0[None]], axis=0)      # [M, M+1]
+    return pref, suf
+
+
 def log_esf_omit(log_lambda, lam_mask):
     """ESF with each measurement omitted: esfd[m, k] = e_k({lambda_n : n!=m}).
 
@@ -164,14 +179,7 @@ def log_esf_omit(log_lambda, lam_mask):
     reference's cancellation-prone subtraction) at O(M^2) parallel lanes.
     """
     M = log_lambda.shape[-1]
-    dtype = log_lambda.dtype
-    e0 = _esf_identity(M, dtype)
-    _, pref_raw = jax.lax.scan(_esf_scan_body, e0, (log_lambda, lam_mask))
-    # pref[m] = ESF({0..m-1}) (excludes m); suf[m] = ESF({m+1..M-1})
-    pref = jnp.concatenate([e0[None], pref_raw[:-1]], axis=0)   # [M, M+1]
-    _, suf_raw = jax.lax.scan(_esf_scan_body, e0, (log_lambda, lam_mask),
-                              reverse=True)
-    suf = jnp.concatenate([suf_raw[1:], e0[None]], axis=0)      # [M, M+1]
+    pref, suf = log_esf_prefix_suffix(log_lambda, lam_mask)
 
     # esfd[m, k] = logsum_i pref[m, i] + suf[m, k - i],  k in 0..M-1 —
     # computed as a max-subtracted LINEAR convolution (one shifted-suffix
@@ -203,7 +211,7 @@ def log_esf_omit(log_lambda, lam_mask):
 # ----------------------------------------------------------------------------
 
 def psi_terms(consts: CphdConstants, log_esf_full, log_esfd, log_cn_predict,
-              log_ip_qdw, log_wsum, n_measure, z_mask):
+              log_ip_qdw, log_wsum, n_measure, z_mask, pref_suf=None):
     """Compute Vo's Psi0/Psi1 terms and their inner products with the
     predicted cardinality.
 
@@ -268,7 +276,7 @@ def psi_terms(consts: CphdConstants, log_esf_full, log_esfd, log_cn_predict,
     # round-2 vmap) builds [M, C+1, M] — the measured CPHD scaling
     # frontier at P=10240 (BENCH.md). Exact reassociation, not an
     # approximation.
-    M = log_esfd.shape[0]
+    M = z_mask.shape[0]
     jd = jnp.arange(M, dtype=dtype)[None, :]            # [1, M]
     mjd = jnp.clip((nm - jd - 1.0).astype(jnp.int32), 0, C1 - 1)
     g = (consts.log_factorial[mjd] + consts.log_cn_clutter[mjd]
@@ -277,8 +285,34 @@ def psi_terms(consts: CphdConstants, log_esf_full, log_esfd, log_cn_predict,
     h = masked_logsumexp(g + log_cn_predict[:, None],
                          (jd + 1.0) <= n, axis=0)       # [M]
     valid_jd = jd[0] <= nm - 1.0                        # [M]
-    log_ip_psi1d = masked_logsumexp(
-        log_esfd + h[None, :], valid_jd[None, :], axis=-1)  # [M]
+    if pref_suf is not None:
+        # FUSED ip1d: the esfd grid is only ever consumed through this
+        # inner product, and the convolution + inner product reassociate:
+        #   ip1d[m] = logsum_j esfd[m, j] + H_j
+        #           = logsum_i pref[m, i] + logsum_d suf[m, d] + H_{i+d}
+        # i.e. ONE per-particle [M+1, M+1] Toeplitz-of-H matmul against
+        # the suffix rows (MXU) instead of materializing the
+        # [M, M, M+1] convolution tensor (measured 17.4 ms of the 60 ms
+        # cphd_update at P=10240 — the esfd contraction dominated the
+        # cardinality machinery). Max-subtracted linear domain; same
+        # shared-per-row-max underflow class as log_esf_omit (see its
+        # docstring caveat).
+        pref, suf = pref_suf                            # [M, M+1] each
+        hm = jnp.where(valid_jd, h, LOG0)
+        hmax = jnp.max(hm)
+        h_lin = jnp.exp(hm - hmax)                      # [M]
+        Mp1_ = pref.shape[1]
+        idx = jnp.arange(Mp1_)[:, None] + jnp.arange(Mp1_)[None, :]
+        Hmat = jnp.where(idx <= M - 1,
+                         h_lin[jnp.clip(idx, 0, M - 1)], 0.0)
+        pmax = jnp.max(pref, axis=-1, keepdims=True)    # [M, 1]
+        smax = jnp.max(suf, axis=-1, keepdims=True)
+        G = jnp.exp(suf - smax) @ Hmat                  # [M, M+1]
+        lin = jnp.sum(jnp.exp(pref - pmax) * G, axis=-1)
+        log_ip_psi1d = safe_log(lin) + pmax[:, 0] + smax[:, 0] + hmax
+    else:
+        log_ip_psi1d = masked_logsumexp(
+            log_esfd + h[None, :], valid_jd[None, :], axis=-1)  # [M]
     log_ip_psi1d = jnp.where(z_mask, log_ip_psi1d, LOG0)
     return log_psi0, log_ip_psi0, log_ip_psi1, log_ip_psi1d
 
@@ -353,7 +387,10 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
     log_lambda = jnp.where(z_mask, log_lambda, LOG0)
 
     esf_full = log_esf(log_lambda, z_mask)              # [M+1]
-    esfd = log_esf_omit(log_lambda, z_mask)             # [M, M]
+    # the [M, M] omitted-ESF grid never materializes: psi_terms consumes
+    # it only through the ip1d inner product, fused into one Toeplitz
+    # matmul from the prefix/suffix scans (pref_suf route)
+    pref_suf = log_esf_prefix_suffix(log_lambda, z_mask)
 
     # predicted in-range cardinality ~ Poisson(sum w) (.bak:2473-2497)
     C1 = consts.log_factorial.shape[0]
@@ -363,8 +400,8 @@ def _cphd_update_single(pose, mean, cov, weight, z, z_mask, consts,
 
     n_measure = jnp.sum(z_mask.astype(jnp.int32))
     log_psi0, ip0, ip1, ip1d = psi_terms(
-        consts, esf_full, esfd, log_cn_predict, log_ip_qdw, log_wsum,
-        n_measure, z_mask)
+        consts, esf_full, None, log_cn_predict, log_ip_qdw, log_wsum,
+        n_measure, z_mask, pref_suf=pref_suf)
 
     # updated cardinality (.bak:1430-1432)
     log_cn_update = log_cn_predict + log_psi0 - ip0
@@ -603,12 +640,51 @@ def cphd_update(state: FilterState, z, z_mask, consts, cfg: SlamConfig):
         )(state.pose, gm.mean, gm.cov, gm.weight)
     sorted_prefix = 0 < cfg.merge_candidate_cap < K_ + M_ * K_
     if pre["gather"] is not None:
-        # deferred Pallas gather + packed-plane merge (see filters/phd.py)
+        # deferred Pallas gather + packed-plane merge (see filters/phd.py),
+        # with the candidate-width switch: live candidates occupy the
+        # stage-2 weight-sorted prefix, so the gather + combine + merge
+        # run on the [:, :cap'] slice (same exactness argument as
+        # _pre_merge_phase's cwidths)
         from .phd import _finish_candidates_packed, _post_compact_batched
-        packed = _finish_candidates_packed(pre, D_, batched=True,
-                                           has_birth=False)
-        mg = merge_batch_dispatch_packed(packed, D_, cfg, K_,
-                                         sorted_prefix=sorted_prefix)
+        cap_full = pre["gather"]["cand_w"].shape[-1]
+
+        def gm_at(g):
+            pre_g = dict(pre)
+            pre_g["gather"] = g
+            packed = _finish_candidates_packed(pre_g, D_, batched=True,
+                                               has_birth=False)
+            return merge_batch_dispatch_packed(
+                packed, D_, cfg, K_, sorted_prefix=sorted_prefix)
+
+        cwidths = []
+        if sorted_prefix and cap_full >= 256 \
+                and getattr(cfg, "feature_width_switch", 1):
+            from ..ops.gm_merge import WIDTH_FRACS
+            for frac in WIDTH_FRACS:
+                w = -(-int(cap_full // frac) // 128) * 128
+                if 0 < w < cap_full and w not in cwidths:
+                    cwidths.append(w)
+        cwidths.append(cap_full)
+        if len(cwidths) > 1:
+            g_full = pre["gather"]
+            n_live_c = jnp.max(jnp.sum(
+                (g_full["sel_act"] & (g_full["cand_w"] > 0))
+                .astype(jnp.int32), axis=1))
+            sel_c = sum((n_live_c > w).astype(jnp.int32)
+                        for w in cwidths[:-1])
+            lane_keys = ("k_eff", "m_eff", "is_p", "is_d", "sel_act",
+                         "cand_w")
+
+            def make_branch(w):
+                def branch(g):
+                    return gm_at({k: (v[:, :w] if k in lane_keys else v)
+                                  for k, v in g.items()})
+                return branch
+
+            mg = jax.lax.switch(sel_c, [make_branch(w) for w in cwidths],
+                                g_full)
+        else:
+            mg = gm_at(pre["gather"])
         # batch-level post half (one payload sort + Pallas one-hot gather
         # — same reasoning as the PHD path's _post_compact_batched)
         bits = dict(out_m=pre["out_m"], dlog_w=pre["dlog_w"],

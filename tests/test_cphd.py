@@ -378,3 +378,35 @@ def test_log_esf_omit_wide_dynamic_range():
         expect = float(np.dot(psi1d, cn))
         np.testing.assert_allclose(np.exp(float(ip1d[m])), expect,
                                    rtol=5e-3)
+
+
+def test_psi1d_pref_suf_route_matches_esfd_route():
+    """The fused ip1d correlation (pref_suf Toeplitz matmul inside
+    psi_terms) reassociates the esfd convolution + inner product — it
+    must match the explicit esfd route to f32 accuracy."""
+    from phdslam_tpu.filters.cphd import log_esf_prefix_suffix
+
+    rng = np.random.default_rng(5)
+    M = 12
+    cfg = SlamConfig(max_cardinality=32, clutter_rate=3.0, max_range=10.0,
+                     max_bearing=np.pi)
+    consts = cphd_constants(cfg)
+    ll = jnp.asarray(rng.uniform(-4, 2, M), jnp.float32)
+    zm = jnp.asarray(np.arange(M) < 9)
+    ll = jnp.where(zm, ll, LOG0)
+    cn = rng.dirichlet(np.ones(33)).astype(np.float32)
+
+    esf_full = log_esf(ll, zm)
+    esfd = log_esf_omit(ll, zm)
+    args = (consts, esf_full, esfd, jnp.log(jnp.asarray(cn)),
+            jnp.float32(-0.2), jnp.float32(0.9), 9, zm)
+    _, _, _, ip1d_a = psi_terms(*args)
+    _, _, _, ip1d_b = psi_terms(
+        consts, esf_full, None, jnp.log(jnp.asarray(cn)),
+        jnp.float32(-0.2), jnp.float32(0.9), 9, zm,
+        pref_suf=log_esf_prefix_suffix(ll, zm))
+    a = np.asarray(ip1d_a, np.float64)
+    b = np.asarray(ip1d_b, np.float64)
+    live = np.asarray(zm)
+    np.testing.assert_allclose(b[live], a[live], rtol=2e-4, atol=1e-4)
+    assert (b[~live] < -1e30).all()
