@@ -170,7 +170,29 @@ def check_detect(rng):
                                          "max_dn": dn}
     print(f"{'  ok' if ok else 'FAIL'}  detect_topT  dv={dv:.2e} "
           f"dn={dn:.2e}", flush=True)
-    return ok
+
+    # consolidating variant (premerge_consolidate): the compiled Mosaic
+    # kernel vs the interpret-mode reference on identical inputs — the
+    # CPU suite only ever runs interpret mode, so a Mosaic miscompile of
+    # the column-reduction code would ship green without this
+    cfg_c = SlamConfig(max_range=15.0, std_range=0.3, std_bearing=0.02,
+                      clutter_rate=5.0, pd=0.95, birth_weight=0.05,
+                      min_separation=4.0)
+    planes_c = jax.vmap(lambda p, m, c, ww: _detection_planes_single(
+        p, m, c, ww, cfg_c, consolidate=True))(pose, mean, cov, w)
+    run = functools.partial(detection_topT_batch, top_t=T, min_fw=min_fw,
+                            cb=cb, min_sep=4.0)
+    got = jax.jit(functools.partial(run, interpret=False))(planes_c, z4)
+    ref = run(planes_c, z4, interpret=True)
+    dmax = max(float(jnp.max(jnp.abs(g.astype(jnp.float32)
+                                     - r.astype(jnp.float32))))
+               for g, r in zip(got, ref))
+    ok_c = dmax < 1e-4
+    RESULTS["kernels"]["detect_consolidate"] = {"ok": ok_c,
+                                                "max_d": dmax}
+    print(f"{'  ok' if ok_c else 'FAIL'}  detect_consolidate  "
+          f"d={dmax:.2e}", flush=True)
+    return ok and ok_c
 
 
 def check_gathers(rng):
