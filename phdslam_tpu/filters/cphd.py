@@ -645,46 +645,11 @@ def cphd_update(state: FilterState, z, z_mask, consts, cfg: SlamConfig):
         # stage-2 weight-sorted prefix, so the gather + combine + merge
         # run on the [:, :cap'] slice (same exactness argument as
         # _pre_merge_phase's cwidths)
-        from .phd import _finish_candidates_packed, _post_compact_batched
-        cap_full = pre["gather"]["cand_w"].shape[-1]
-
-        def gm_at(g):
-            pre_g = dict(pre)
-            pre_g["gather"] = g
-            packed = _finish_candidates_packed(pre_g, D_, batched=True,
-                                               has_birth=False)
-            return merge_batch_dispatch_packed(
-                packed, D_, cfg, K_, sorted_prefix=sorted_prefix)
-
-        cwidths = []
-        if sorted_prefix and cap_full >= 256 \
-                and getattr(cfg, "feature_width_switch", 1):
-            from ..ops.gm_merge import WIDTH_FRACS
-            for frac in WIDTH_FRACS:
-                w = -(-int(cap_full // frac) // 128) * 128
-                if 0 < w < cap_full and w not in cwidths:
-                    cwidths.append(w)
-        cwidths.append(cap_full)
-        if len(cwidths) > 1:
-            g_full = pre["gather"]
-            n_live_c = jnp.max(jnp.sum(
-                (g_full["sel_act"] & (g_full["cand_w"] > 0))
-                .astype(jnp.int32), axis=1))
-            sel_c = sum((n_live_c > w).astype(jnp.int32)
-                        for w in cwidths[:-1])
-            lane_keys = ("k_eff", "m_eff", "is_p", "is_d", "sel_act",
-                         "cand_w")
-
-            def make_branch(w):
-                def branch(g):
-                    return gm_at({k: (v[:, :w] if k in lane_keys else v)
-                                  for k, v in g.items()})
-                return branch
-
-            mg = jax.lax.switch(sel_c, [make_branch(w) for w in cwidths],
-                                g_full)
-        else:
-            mg = gm_at(pre["gather"])
+        from .phd import (_post_compact_batched,
+                          gather_merge_width_switched)
+        mg = gather_merge_width_switched(pre["gather"], D_, cfg, K_,
+                                         has_birth=False,
+                                         sorted_prefix=sorted_prefix)
         # batch-level post half (one payload sort + Pallas one-hot gather
         # — same reasoning as the PHD path's _post_compact_batched)
         bits = dict(out_m=pre["out_m"], dlog_w=pre["dlog_w"],

@@ -431,31 +431,27 @@ def _batched_mixed_update(pose, gs, gd, z, z_label, z_mask,
         )(pose, gs.mean, gs.cov, gs.weight, gd.mean, gd.cov, gd.weight,
           *pz_args)
 
-    # topcap_sort emits a weight-descending live prefix for both maps
-    packed_s = _finish_candidates_packed({"gather": pre["g_s"]}, 2,
-                                         batched=True)
-    mg_s = merge_batch_dispatch_packed(packed_s, 2, cfg, Ks,
-                                       sorted_prefix=True)
-    packed_d = _finish_candidates_packed({"gather": pre["g_d"]}, 4,
-                                         batched=True)
-    mg_d = merge_batch_dispatch_packed(packed_d, 4, cfg, Kd,
-                                       sorted_prefix=True)
+    # topcap_sort emits a weight-descending live prefix for both maps;
+    # gather + combine + merge run candidate-width switched on it
+    # (filters/phd.py::gather_merge_width_switched)
+    from .phd import gather_merge_width_switched
+    mg_s = gather_merge_width_switched(pre["g_s"], 2, cfg, Ks)
+    mg_d = gather_merge_width_switched(pre["g_d"], 4, cfg, Kd)
 
-    post_s = jax.vmap(
-        lambda mg_t, dlw, om, nc, m, c, w: _update_single_post(
-            mg_t, _post_pre_out(dlw, om, nc), m, c, w, cfg)
-    )(mg_s, pre["dlog_w"], pre["out_s"], pre["nc_s"],
-      gs.mean, gs.cov, gs.weight)
+    # batch-level post halves (one payload sort + Pallas one-hot gather
+    # per map — the per-particle [K, 2K] one-hot compaction materializes
+    # its dot operand under vmap; see filters/phd.py)
+    from .phd import _post_compact_batched
+    bits_s = dict(out_m=pre["out_s"], dlog_w=pre["dlog_w"],
+                  n_compact=pre["nc_s"], s2=None)
+    sm, sc, sw, dlog_w, ovf_s = _post_compact_batched(
+        mg_s, bits_s, gs.mean, gs.cov, gs.weight, cfg)
     # dynamic out-of-range features are killed (:3714-3719)
-    zeros_out = jnp.zeros(gd.weight.shape, bool)
-    post_d = jax.vmap(
-        lambda mg_t, nc, m, c, w, zo: _update_single_post(
-            mg_t, _post_pre_out(jnp.zeros((), gd.mean.dtype), zo, nc),
-            m, c, w, cfg)
-    )(mg_d, pre["nc_d"], gd.mean, gd.cov, gd.weight, zeros_out)
-
-    sm, sc, sw, dlog_w, ovf_s = post_s
-    dm, dc, dw, _, ovf_d = post_d
+    bits_d = dict(out_m=jnp.zeros(gd.weight.shape, bool),
+                  dlog_w=jnp.zeros(gd.weight.shape[:1], gd.mean.dtype),
+                  n_compact=pre["nc_d"], s2=None)
+    dm, dc, dw, _, ovf_d = _post_compact_batched(
+        mg_d, bits_d, gd.mean, gd.cov, gd.weight, cfg)
     return (sm, sc, sw), (dm, dc, dw), dlog_w, ovf_s + ovf_d
 
 

@@ -710,6 +710,49 @@ def _detection_planes_single(pose, mean, cov, weight, cfg: SlamConfig,
     return jnp.stack(rows, axis=0)
 
 
+def gather_merge_width_switched(gather, D, cfg, out_cap, has_birth=True,
+                                sorted_prefix=True):
+    """Candidate-width-switched gather + combine + merge on a deferred-
+    gather dict (the reusable form of _pre_merge_phase's cwidths switch,
+    shared by the CPHD and mixed pipelines): live candidates occupy the
+    stage-2 weight-sorted prefix, so everything downstream of stage 2 can
+    run on the [:, :cap'] slice, lax.switched on the batch's max live
+    candidate count — exact (sliced lanes are all inactive)."""
+    from ..ops.gm_merge import WIDTH_FRACS, merge_batch_dispatch_packed
+
+    def gm_at(g):
+        packed = _finish_candidates_packed(
+            {"gather": g}, D, batched=True, has_birth=has_birth)
+        return merge_batch_dispatch_packed(packed, D, cfg, out_cap,
+                                           sorted_prefix=sorted_prefix)
+
+    cap = gather["cand_w"].shape[-1]
+    cwidths = []
+    if sorted_prefix and cap >= 256 \
+            and getattr(cfg, "feature_width_switch", 1):
+        for frac in WIDTH_FRACS:
+            w = -(-int(cap // frac) // 128) * 128
+            if 0 < w < cap and w not in cwidths:
+                cwidths.append(w)
+    cwidths.append(cap)
+    if len(cwidths) == 1:
+        return gm_at(gather)
+    n_live_c = jnp.max(jnp.sum(
+        (gather["sel_act"] & (gather["cand_w"] > 0)).astype(jnp.int32),
+        axis=1))
+    sel_c = sum((n_live_c > w).astype(jnp.int32) for w in cwidths[:-1])
+    lane_keys = ("k_eff", "m_eff", "is_p", "is_d", "sel_act", "cand_w")
+
+    def make_branch(w):
+        def branch(g):
+            return gm_at({k: (v[:, :w] if k in lane_keys else v)
+                          for k, v in g.items()})
+        return branch
+
+    return jax.lax.switch(sel_c, [make_branch(w) for w in cwidths],
+                          gather)
+
+
 def _pre_merge_phase(pose, mean, cov, weight, z, z_mask,
                      cfg: SlamConfig, out_cap, keys=None):
     """Fast-path detection + per-particle pre + batch merge at the GIVEN
