@@ -19,8 +19,11 @@ roofline the dense (K=1024) shapes.
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HBM_GBS = 819e9
 MXU_F32 = 197e12 / 4.0
