@@ -50,3 +50,12 @@ def test_ckpt_resume_across_process_count():
     processes, and match the uninterrupted single-process trace — the
     elasticity/preemption-recovery contract of the distributed runtime."""
     _run_sim("--nproc", "4", "--steps", "6", "--ckpt-test")
+
+
+def test_two_process_disparity_parity():
+    """SC-PHD disparity across TRUE process boundaries: the per-particle
+    cloud state [P, K, N, 3] shards over 2 processes x 4 devices with
+    resampling forced every step (the cloud migration crosses processes);
+    the trace must match the 1-process run (round-4 verdict item 4's
+    multi-process leg)."""
+    _run_sim("--nproc", "2", "--steps", "5", "--disparity")

@@ -38,6 +38,10 @@ def _child(rank: int, nproc: int, port: int, steps: int, particles: int):
         ok = distributed.initialize(f"localhost:{port}", nproc, rank)
         assert ok and jax.process_count() == nproc
 
+    if os.environ.get("MH_VARIANT") == "disparity":
+        _child_disparity(rank, nproc, steps, particles)
+        return
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -123,6 +127,63 @@ def _child(rank: int, nproc: int, port: int, steps: int, particles: int):
         }), flush=True)
 
 
+def _child_disparity(rank: int, nproc: int, steps: int, particles: int):
+    """SC-PHD disparity variant of the multi-process parity run: the
+    per-particle cloud state [P, K, N, 3] shards across the process
+    group's devices; resampling forced every step so the cloud migration
+    (ppermute neighbor exchange / fallback gather) crosses process
+    boundaries."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phdslam_tpu.config import SlamConfig
+    from phdslam_tpu.parallel import distributed
+    from phdslam_tpu.parallel.sharding import (
+        init_sharded_disparity_state, make_sharded_disparity_step_fn)
+
+    mesh = distributed.global_mesh()
+    cfg = SlamConfig(
+        n_particles=particles, max_features=8, max_measurements=8,
+        particles_per_feature=16, motion_type=0, filter_type=0,
+        pd=0.9, clutter_rate=2.0, birth_weight=0.05, min_separation=8.0,
+        fx=500.0, fy=500.0, u0=320.0, v0=240.0, image_width=640,
+        image_height=480, std_u=1.0, std_v=1.0, disparity_birth=100.0,
+        std_d_birth=30.0, vx0=0.25, resample_threshold=1.1, seed=5)
+
+    rng = np.random.default_rng(2)
+    z = rng.uniform([100, 100], [540, 380], (8, 2)).astype(np.float32)
+    zm = np.ones((8,), bool)
+
+    step = make_sharded_disparity_step_fn(cfg, mesh, donate=False)
+    state = init_sharded_disparity_state(cfg, mesh)
+    poses, neffs = [], []
+    t0 = None
+    out = None
+    steps = max(2, steps)
+    for n in range(steps):
+        if n == 1:
+            jax.block_until_ready(state.cam_pose)
+            t0 = time.perf_counter()
+        state, out = step(state, jnp.asarray(z), jnp.asarray(zm),
+                          jnp.float32(1.0), jnp.asarray(n > 0))
+        poses.append(np.asarray(out.expected_pose)[:3].tolist())
+        neffs.append(float(out.n_eff))
+    jax.block_until_ready(out.n_eff)
+    wall = time.perf_counter() - t0
+
+    if rank == 0:
+        print("RESULT " + json.dumps({
+            "poses": poses, "n_eff": neffs,
+            "steps_per_s": (steps - 1) / wall,
+            "n_processes": jax.process_count(),
+            "n_devices": len(jax.devices()),
+            "resampled": bool(out.resampled),
+        }), flush=True)
+
+
 def _run_group(nproc: int, port: int, steps: int, particles: int,
                timeout_s: float = 480.0, extra_env: dict = None) -> dict:
     """Launch the rank processes and wait for ALL of them, polling so a
@@ -187,6 +248,9 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--particles", type=int, default=32)
     ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--disparity", action="store_true",
+                    help="run the SC-PHD disparity variant (cloud-state "
+                         "sharding + forced cross-process migration)")
     ap.add_argument("--ckpt-test", action="store_true",
                     help="resume-across-process-count parity: run half the "
                          "steps on 2 processes, checkpoint, resume on "
@@ -234,9 +298,11 @@ def main():
     # nproc=1 skips jax.distributed entirely — no port needed; probe the
     # coordinator port right before the distributed group launches to keep
     # the bind-race window minimal
-    ref = _run_group(1, 0, args.steps, args.particles)
+    variant_env = {"MH_VARIANT": "disparity"} if args.disparity else {}
+    ref = _run_group(1, 0, args.steps, args.particles,
+                     extra_env=variant_env)
     dist = _run_group(args.nproc, args.port or free_port(), args.steps,
-                      args.particles)
+                      args.particles, extra_env=variant_env)
 
     import numpy as np
     pose_err = float(np.max(np.abs(
