@@ -174,7 +174,11 @@ def test_make_mesh_fallback_and_cfg_resolution():
 @pytest.mark.parametrize("variant_kw", [
     dict(filter_type=1, max_cardinality=24),        # CPHD
     dict(feature_model=2),                          # mixed jump-Markov
-], ids=["cphd", "mixed"])
+    # mixed + two-scan velocity births: the prev_z state leaf ([P, M, 3])
+    # must shard/migrate like everything else
+    dict(feature_model=2, birth_velocity_init=1,
+         resample_threshold=1.1),
+], ids=["cphd", "mixed", "mixed_velinit"])
 def test_sharded_variants_match_unsharded(mesh, variant_kw):
     """The CPHD and mixed-model branches of phd_step must survive the SPMD
     partitioner unchanged: per-particle cardinality arrays ([P, C+1]) and the
