@@ -258,6 +258,13 @@ class SlamConfig:
     # v * dt >> sigma_r.
     birth_velocity_init: int = 0
     birth_velocity_max: float = 3.0
+    # Separate stage-2 candidate cap for the mixed model's DYNAMIC map
+    # (0 = use merge_candidate_cap). The dynamic map typically carries an
+    # order of magnitude fewer live components than the static map (~75
+    # vs ~400 at the MC protocol's scales), but the shared cap makes the
+    # 4D gather/merge run at the static map's width — the measured
+    # largest single stage of the mixed P=10240 step (BENCH.md).
+    merge_candidate_cap_dynamic: int = 0
     # Mixed jump-Markov fast pipeline (filters/mixed.py): 0 = per-particle
     # reference-shaped route (merge inside vmap — the equivalence oracle),
     # 1 = batch-hoisted two-stage selection + Pallas 2D/4D merges.
@@ -403,6 +410,7 @@ _OPTION_MAP = {
     "fused_gather_merge": "fused_gather_merge",
     "premerge_consolidate": "premerge_consolidate",
     "feature_width_switch": "feature_width_switch",
+    "merge_candidate_cap_dynamic": "merge_candidate_cap_dynamic",
     "birth_velocity_init": "birth_velocity_init",
     "birth_velocity_max": "birth_velocity_max",
 }

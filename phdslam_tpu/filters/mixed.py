@@ -45,7 +45,7 @@ def _classify(pose, mean, weight, cfg):
 
 def _merge_map(mean, cov, weight, mean_det, cov_upd, w_det, det_valid,
                w_nd, in_m, near_m, out_keep, b_mean, b_cov, w_birth,
-               birth_valid, cfg, K):
+               birth_valid, cfg, K, cap=None):
     """Prune + merge + recombine for one map (shared by static/dynamic)."""
     M = w_det.shape[0]
     D = mean.shape[-1]
@@ -71,7 +71,8 @@ def _merge_map(mean, cov, weight, mean_det, cov_upd, w_det, det_valid,
     cand_w = jnp.where(cand_act, cand_w, 0.0)
 
     cand_mean, cand_cov, cand_w, cand_act, n_compact = compact_candidates(
-        cand_mean, cand_cov, cand_w, cand_act, cfg.merge_candidate_cap)
+        cand_mean, cand_cov, cand_w, cand_act,
+        cfg.merge_candidate_cap if cap is None else cap)
     mg_mean, mg_cov, mg_w, _, n_dropped = merge_dispatch(
         cand_mean, cand_cov, cand_w, cand_act, cfg, K)
     n_dropped = n_dropped + n_compact
@@ -176,7 +177,9 @@ def _update_mixed_single(pose, mean_s, cov_s, w_s, mean_d, cov_d, w_d,
     new_d = _merge_map(mean_d, cov_d, w_d, mdet_d, pre_d.cov_upd, wdet_d,
                        dv_d, w_nd_d, in_d, near_d,
                        jnp.zeros_like(out_d), b_mean_d, b_cov_d,
-                       wb_d, z_mask & (bw_d > 0), cfg, Kd)
+                       wb_d, z_mask & (bw_d > 0), cfg, Kd,
+                       cap=getattr(cfg, "merge_candidate_cap_dynamic", 0)
+                       or None)
 
     overflow = new_s[3] + new_d[3]
     return new_s[:3], new_d[:3], dlog_w, overflow
@@ -323,7 +326,7 @@ def _update_mixed_pre(pose, mean_s, cov_s, w_s, mean_d, cov_d, w_d,
         b_mean_d = measurement.seed_birth_velocity(b_mean_d, prev_z,
                                                    z_mask, cfg)
 
-    def det_select(det, w_a, act_a, wb, act_c, K):
+    def det_select(det, w_a, act_a, wb, act_c, K, cap_m):
         """Stage 1 from the fused kernel's top-T (joint-norm scaled,
         thresholded post-hoc — order-exact; count_d counts pdw > 0 lanes
         so the overflow diagnostic may overcount, as on the CPHD route)."""
@@ -340,18 +343,19 @@ def _update_mixed_pre(pose, mean_s, cov_s, w_s, mean_d, cov_d, w_d,
             [jnp.arange(K, dtype=jnp.int32), flat_d.reshape(M * T),
              K + M * K + jnp.arange(M, dtype=jnp.int32)], axis=0)
         idx, cand_w, sel_act, n_drop = topcap_sort(red_w, red_act,
-                                                   red_flat, cap)
+                                                   red_flat, cap_m)
         n_extra = jnp.sum(count_d) - jnp.sum(jnp.minimum(count_d, T))
         return idx, cand_w, sel_act, n_drop + n_extra
 
     def gather_for(det, pdw, dv, w_a, act_a, wb, act_c, mean, cov, pre,
-                   b_mean, b_cov, K):
+                   b_mean, b_cov, K, cap_m):
         if det is not None:
             idx, cand_w, sel_act, n_compact = det_select(
-                det, w_a, act_a, wb, act_c, K)
+                det, w_a, act_a, wb, act_c, K, cap_m)
         else:
             idx, cand_w, sel_act, n_compact = _fast_select(
-                pdw, dv, norm, w_a, act_a, wb, act_c, K, M, T, cap, min_fw)
+                pdw, dv, norm, w_a, act_a, wb, act_c, K, M, T, cap_m,
+                min_fw)
         k_eff, m_eff, is_p, is_d = ekf.candidate_gather_indices(
             idx, K, M, True)
         t_k, t_m = ekf.candidate_tables_T(mean, cov, pre, z, b_mean, b_cov)
@@ -359,12 +363,13 @@ def _update_mixed_pre(pose, mean_s, cov_s, w_s, mean_d, cov_d, w_d,
                     sel_act=sel_act, cand_w=cand_w, t_k=t_k, t_m=t_m), \
             n_compact
 
+    cap_d = getattr(cfg, "merge_candidate_cap_dynamic", 0) or cap
     g_s, nc_s = gather_for(det_s, pdw_s, dv_s, w_a_s, act_a_s, wb_s,
                            act_c_s, mean_s, cov_s, pre_s, b_mean_s,
-                           b_cov_s, Ks)
+                           b_cov_s, Ks, cap)
     g_d, nc_d = gather_for(det_d, pdw_d, dv_d, w_a_d, act_a_d, wb_d,
                            act_c_d, mean_d, cov_d, pre_d, b_mean_d,
-                           b_cov_d, Kd)
+                           b_cov_d, Kd, cap_d)
 
     return dict(g_s=g_s, g_d=g_d, dlog_w=dlog_w, out_s=out_s,
                 nc_s=nc_s, nc_d=nc_d)

@@ -306,3 +306,56 @@ def test_mixed_e2e_with_velocity_init_runs():
     # prev_z recorded the scan
     pz = np.asarray(state.prev_z)
     assert (pz[:, :2, 2] > 0.5).all() and (pz[:, 2:, 2] < 0.5).all()
+
+
+def test_dynamic_candidate_cap_fast_matches_slow():
+    """merge_candidate_cap_dynamic: the separate stage-2 cap for the
+    dynamic map must keep the fast pipeline equivalent to the
+    per-particle reference-shaped route (which applies the same cap via
+    _merge_map)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phdslam_tpu.config import SlamConfig
+    from phdslam_tpu.filters.mixed import mixed_update
+    from phdslam_tpu.types import init_state
+
+    def cfg_of(fast):
+        return SlamConfig(
+            n_particles=6, max_features=16, max_measurements=6,
+            motion_type=0, feature_model=2, filter_type=0,
+            max_range=12.0, std_range=0.5, std_bearing=0.02,
+            clutter_rate=2.0, pd=0.95, birth_weight=0.05,
+            min_separation=2.0, tau=0.2, cov_vx_birth=0.25,
+            cov_vy_birth=0.25, merge_candidate_cap=64,
+            merge_candidate_cap_dynamic=32, detection_topk=4,
+            mixed_fast_path=fast, pallas_merge=0, pallas_detect=0,
+            particle_weighting=0, seed=0)
+
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(np.column_stack([rng.uniform(1, 10, 6),
+                                     rng.uniform(-1.5, 1.5, 6)]),
+                    jnp.float32)
+    zm = jnp.asarray(np.arange(6) < 4)
+    sites = jnp.asarray(rng.uniform(-8, 8, (1, 4, 2)), jnp.float32)
+
+    outs = []
+    for fast in (1, 0):
+        cfg = cfg_of(fast)
+        state = init_state(cfg)
+        # seed some live features so both maps have candidates
+        ms = state.map_static
+        mean = ms.mean.at[:, :4].set(sites)
+        w = ms.weight.at[:, :4].set(0.8)
+        state = state.replace(map_static=ms.replace(mean=mean, weight=w))
+        st, _ = mixed_update(state, z, zm, cfg)
+        outs.append(st)
+    a, b = outs
+    np.testing.assert_allclose(np.asarray(a.log_weight),
+                               np.asarray(b.log_weight), rtol=2e-4,
+                               atol=2e-4)
+    for ga, gb in ((a.map_static, b.map_static),
+                   (a.map_dynamic, b.map_dynamic)):
+        np.testing.assert_allclose(np.asarray(ga.weight),
+                                   np.asarray(gb.weight), rtol=2e-4,
+                                   atol=2e-4)
