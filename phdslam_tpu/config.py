@@ -203,6 +203,24 @@ class SlamConfig:
     # Pallas merge: clusters extracted per while-loop trip (R-way exact
     # greedy; see ops/pallas_merge.py — R=8 measured optimal at P=512)
     merge_r_par: int = 8
+    # Spatially-tiled greedy merge (ops/gm_merge.py::_tiled_merge_packed,
+    # D=2 fast path): partition each particle's candidate set into 4
+    # position quadrants about its live-candidate centroid, fold the
+    # tiles into the kernel's batch axis and run an independent greedy
+    # merge per tile — the per-cluster reduction width AND the
+    # sequential trip depth both shrink ~4x (the merge's cost is
+    # trips x lane-width; BENCH.md dense roofline). APPROXIMATE: a pair
+    # of candidates straddling a quadrant boundary within
+    # min_separation is not merged that step (same-source detection
+    # copies are position-coherent so they land in one tile together;
+    # distinct-feature boundary pairs re-merge on a later step once the
+    # moving centroid shifts the split line). Per-tile input overflow
+    # falls back to the exact untiled merge inside the same lax.switch.
+    # 0 = off (exact sequential greedy), 4 = 2x2 quadrant tiling. Only
+    # engages for D=2/Mahalanobis/sorted-prefix candidate sets with
+    # max_features divisible by the tile count; intended for dense
+    # (>=1k-component) maps where the merge dominates the update.
+    merge_spatial_tiles: int = 0
     # Fused gather+combine+merge kernel (ops/pallas_merge.py
     # _merge_tables_kernel, D=2 fast path): 0 = off (two-kernel route:
     # Pallas one-hot gather -> packed planes -> merge), 1 = on when the
@@ -236,6 +254,14 @@ class SlamConfig:
     # 2 = force interpret mode (CPU testing). Only engages on the fast
     # path with 0 < detection_topk < max_features.
     pallas_detect: int = 1
+    # Adaptive top-T extraction trips in the fused detect kernel: the
+    # T-trip argmax loop dominates the kernel (~4 [B, M, K] passes per
+    # trip vs ~15 for the whole grid eval) while live lanes per
+    # measurement are typically far fewer than T; a while_loop exits once
+    # the block's lanes are exhausted — output EXACTLY equals the static
+    # unroll's (exhausted trips emit (0, 0) on both paths; see
+    # ops/pallas_detect.py::_detect_kernel). 1 = on, 0 = static unroll.
+    detect_adaptive: int = 1
     # Feature-width switching (filters/phd.py::_batched_update): run the
     # pre-half + merge on the map's live weight-sorted prefix ([:, :K/4]
     # or [:, :K/2]), lax.switched on the batch's max live count — exact

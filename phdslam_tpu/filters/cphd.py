@@ -625,8 +625,9 @@ def cphd_update(state: FilterState, z, z_mask, consts, cfg: SlamConfig):
                 p, m, c, w, cfg))(state.pose, gm.mean, gm.cov, gm.weight)
             z4 = jnp.stack([z[:, 0], z[:, 1], z_mask.astype(z.dtype),
                             jnp.zeros_like(z[:, 0])], axis=1)
-            det = detection_topT_batch(planes, z4, T_, 0.0, 0.0,
-                                       interpret=interp)
+            det = detection_topT_batch(
+                planes, z4, T_, 0.0, 0.0, interpret=interp,
+                adaptive=bool(getattr(cfg, "detect_adaptive", 1)))
 
     if det is not None:
         pre = jax.vmap(

@@ -231,6 +231,97 @@ def unpack_planes(packed, D):
     return mean, cov, weight, active
 
 
+def _tiled_merge_packed(packed, cfg, out_cap, interpret, r_par, T=4):
+    """Spatially-tiled greedy merge on packed 2D planes [P, 7, N].
+
+    Each particle's candidates are partitioned into T=4 position
+    quadrants about the live-candidate centroid; tiles fold into the
+    Pallas kernel's batch axis (rows are self-contained), so each tile
+    merges independently at ~N/T lane width with ~1/T the sequential
+    cluster trips — the greedy loop's cost is trips x width (BENCH.md
+    dense roofline), giving ~T x less reduction work. Approximation:
+    cross-tile pairs within min_separation stay unmerged this step (see
+    config.merge_spatial_tiles). The per-tile input width is
+    lax.switched on the batch's max per-tile count; when it exceeds the
+    widest tile build, the exact untiled merge runs instead.
+
+    Output lanes interleave tiles (lane j*T + t = tile t's j-th
+    cluster), so live clusters occupy a prefix of length
+    T * max_t(n_merged_t); n_merged reports that prefix bound (its only
+    consumer is the post-half width selector, filters/phd.py).
+    """
+    from .pallas_merge import gm_merge_pallas_batch_packed
+
+    P, C, N = packed.shape
+    oc_t = out_cap // T
+    w, act = packed[:, 0], packed[:, 1]
+    mx, my = packed[:, 2], packed[:, 3]
+    live = (act > 0.5) & (w > 0)
+    livef = live.astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(livef, axis=1), 1.0)
+    cx = jnp.sum(livef * mx, axis=1) / cnt
+    cy = jnp.sum(livef * my, axis=1) / cnt
+    tid = 2 * (mx > cx[:, None]).astype(jnp.int32) \
+        + (my > cy[:, None]).astype(jnp.int32)
+    tid = jnp.where(live, tid, T)            # inactive lanes sort last
+    # ONE stable payload sort carries the planes into tile-major order
+    # (ascending tile; the global weight-descending order is preserved
+    # WITHIN each tile, so sorted_w still holds per tile-row)
+    sorted_ops = jax.lax.sort(
+        (tid,) + tuple(packed[:, c] for c in range(C)), num_keys=1,
+        dimension=-1)
+    pk_sorted = jnp.stack(sorted_ops[1:], axis=1)         # [P, C, N]
+    counts = jnp.sum((tid[:, :, None]
+                      == jnp.arange(T, dtype=jnp.int32)[None, None, :])
+                     .astype(jnp.int32), axis=1)          # [P, T]
+    starts = jnp.cumsum(counts, axis=1) - counts
+    n_tile_max = jnp.max(counts)
+
+    def tile_branch(ct):
+        def branch(pk, counts_, starts_):
+            # the ct-padded per-tile extraction is one Pallas one-hot
+            # gather from the tile-sorted planes — an XLA take_along_axis
+            # over the lane axis serializes on TPU (measured 13 ms/step
+            # at dense P=1024), and composing a separate permutation
+            # gather cost another ~3 ms
+            from .pallas_select import onehot_cols_batch
+            base = starts_[:, :, None] + jnp.arange(ct, dtype=jnp.int32)
+            valid = (jnp.arange(ct, dtype=jnp.int32)[None, None]
+                     < counts_[:, :, None])               # [P, T, ct]
+            flat = jnp.clip(base, 0, N - 1).reshape(P, T * ct)
+            g = onehot_cols_batch(flat, pk, interpret=bool(interpret))
+            vm = valid.reshape(P, 1, T * ct).astype(g.dtype)
+            g = g.at[:, :2].multiply(vm)                  # kill w + act
+            g = (g.reshape(P, C, T, ct).transpose(0, 2, 1, 3)
+                 .reshape(P * T, C, ct))
+            om, oc, ow, nm, nd = gm_merge_pallas_batch_packed(
+                g, float(cfg.min_separation), oc_t, interpret=interpret,
+                r_par=r_par, metric=0, sorted_w=True,
+                block=min(32, P * T))
+            om = (om.reshape(P, T, oc_t, 2).transpose(0, 2, 1, 3)
+                  .reshape(P, out_cap, 2))
+            oc = (oc.reshape(P, T, oc_t, 2, 2).transpose(0, 2, 1, 3, 4)
+                  .reshape(P, out_cap, 2, 2))
+            ow = ow.reshape(P, T, oc_t).transpose(0, 2, 1).reshape(
+                P, out_cap)
+            nm2 = nm.reshape(P, T)
+            nm_bound = T * jnp.max(nm2, axis=1)
+            nd = (nd.reshape(P, T).sum(axis=1)
+                  + jnp.sum(jnp.maximum(counts_ - ct, 0), axis=1))
+            return om, oc, ow, nm_bound, nd
+        return branch
+
+    def untiled(pk, counts_, starts_):
+        return gm_merge_pallas_batch_packed(
+            packed, float(cfg.min_separation), out_cap,
+            interpret=interpret, r_par=r_par, metric=0, sorted_w=True)
+
+    cts = [ct for ct in (128, 256, 384) if ct < N]
+    sel = sum((n_tile_max > ct).astype(jnp.int32) for ct in cts)
+    return jax.lax.switch(sel, [tile_branch(ct) for ct in cts]
+                          + [untiled], pk_sorted, counts, starts)
+
+
 def merge_batch_dispatch_packed(packed, D, cfg, out_cap,
                                 sorted_prefix=False):
     """Batch merge on pre-packed SoA planes [P, C, N] (C = 7 for D=2, 16
@@ -259,6 +350,12 @@ def merge_batch_dispatch_packed(packed, D, cfg, out_cap,
         interpret = cfg.pallas_merge == 2
         if interpret or pallas_available():
             N = packed.shape[-1]
+            tiles = int(getattr(cfg, "merge_spatial_tiles", 0))
+            if (tiles == 4 and D == 2 and metric == 0 and sorted_prefix
+                    and packed.shape[1] == 7 and out_cap % tiles == 0
+                    and N >= 256):
+                return _tiled_merge_packed(packed, cfg, out_cap,
+                                           interpret, rp, T=tiles)
             widths = []
             for frac in WIDTH_FRACS:
                 w = -(-int(N // frac) // 128) * 128     # ceil to lane tile

@@ -47,7 +47,8 @@ def _wrap_angle(a):
 
 
 def _detect_kernel(planes_ref, z_ref, out_ref, cons_ref=None, *, n_feat,
-                   n_meas, top_t, min_fw, cb, block, min_sep=0.0):
+                   n_meas, top_t, min_fw, cb, block, min_sep=0.0,
+                   adaptive=True):
     """planes [B, 6, K]: r, bearing, si00, si01, si11, pref (pd * w /
     (2 pi sqrt det S), zeroed for out-of-range features).
     z [M, 4]: zr, zb, valid, pad (broadcast across particles).
@@ -162,6 +163,40 @@ def _detect_kernel(planes_ref, z_ref, out_ref, cons_ref=None, *, n_feat,
     count = jnp.sum(live.astype(jnp.float32), axis=-1, keepdims=True)
     work = jnp.where(live, pdw, -1.0)
 
+    if adaptive:
+        # Adaptive trip count: the top-T extraction dominates the kernel
+        # (T trips x ~4 [B, M, K] passes; the grid eval is ~15 passes
+        # total) while live lanes per measurement are typically a small
+        # fraction of T at reference thresholds. A while_loop exits once
+        # every lane of the block is extracted — EXACTLY the static
+        # unroll's output: a trip over exhausted work emits
+        # (val 0, idx 0) there (max = -1 -> am = first lane = 0,
+        # val = max(-1, 0)), which is the skipped-trip initialization
+        # here, and a partially-dead row inside a still-live block emits
+        # the same (0, 0) per trip on both paths.
+        iota_t = jax.lax.broadcasted_iota(jnp.int32, (B, M, T), 2)
+
+        def trip(state):
+            t, wk, vals, idx = state
+            mx = jnp.max(wk, axis=-1, keepdims=True)           # [B, M, 1]
+            am = jnp.min(jnp.where(wk == mx, iota_k, k_end),
+                         axis=-1, keepdims=True)
+            hit = iota_t == t
+            vals = jnp.where(hit, jnp.maximum(mx, 0.0), vals)
+            idx = jnp.where(hit, am, idx)
+            wk = jnp.where(iota_k == am, -1.0, wk)
+            return t + 1, wk, vals, idx
+
+        def more(state):
+            return (state[0] < T) & (jnp.max(state[1]) > 0.0)
+
+        _, _, vals, idx = jax.lax.while_loop(
+            more, trip,
+            (jnp.int32(0), work, jnp.zeros((B, M, T), jnp.float32),
+             jnp.zeros((B, M, T), jnp.float32)))
+        out_ref[:] = jnp.concatenate([vals, idx, norm, count], axis=-1)
+        return
+
     vals_cols, idx_cols = [], []
     for t in range(T):
         mx = jnp.max(work, axis=-1, keepdims=True)             # [B, M, 1]
@@ -198,7 +233,8 @@ def _pick_block(P, M, K, T, planes_per=9):
     return 1
 
 
-def _detect_call(planes, z4, top_t, min_fw, cb, interpret, min_sep=0.0):
+def _detect_call(planes, z4, top_t, min_fw, cb, interpret, min_sep=0.0,
+                 adaptive=True):
     """One pallas_call at a fixed measurement width M = z4.shape[0].
     Consolidating variant (13 plane rows) when min_sep > 0."""
     P, C, K = planes.shape
@@ -224,7 +260,7 @@ def _detect_call(planes, z4, top_t, min_fw, cb, interpret, min_sep=0.0):
     res = pl.pallas_call(
         functools.partial(_detect_kernel, n_feat=K, n_meas=M, top_t=T,
                           min_fw=float(min_fw), cb=float(cb), block=B,
-                          min_sep=float(min_sep)),
+                          min_sep=float(min_sep), adaptive=adaptive),
         out_shape=tuple(out_shapes) if cons else out_shapes[0],
         grid=(P_pad // B,),
         in_specs=[pl.BlockSpec((B, C, K), lambda p: (p, 0, 0),
@@ -240,9 +276,10 @@ def _detect_call(planes, z4, top_t, min_fw, cb, interpret, min_sep=0.0):
 
 
 @functools.partial(jax.jit, static_argnames=("top_t", "min_fw", "cb",
-                                             "interpret", "min_sep"))
+                                             "interpret", "min_sep",
+                                             "adaptive"))
 def detection_topT_batch(planes, z4, top_t, min_fw, cb, interpret=False,
-                         min_sep=0.0):
+                         min_sep=0.0, adaptive=True):
     """Batched fused detection + top-T selection.
 
     planes [P, 6, K] f32, z4 [M, 4] f32 (zr, zb, valid, pad) ->
@@ -278,7 +315,7 @@ def detection_topT_batch(planes, z4, top_t, min_fw, cb, interpret=False,
         def make_branch(w):
             def branch(pl_, z_):
                 o = _detect_call(pl_, z_[:w], top_t, min_fw, cb, interpret,
-                                 min_sep)
+                                 min_sep, adaptive=adaptive)
                 o, cns = o if cons else (o, None)
                 if w != M:
                     P = o.shape[0]
@@ -292,7 +329,7 @@ def detection_topT_batch(planes, z4, top_t, min_fw, cb, interpret=False,
                              planes, z4)
     else:
         out = _detect_call(planes, z4, top_t, min_fw, cb, interpret,
-                           min_sep)
+                           min_sep, adaptive=adaptive)
     out, cns = out if cons else (out, None)
 
     vals = out[..., :T]                                        # [P, M, T]

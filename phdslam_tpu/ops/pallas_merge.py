@@ -289,21 +289,27 @@ def gm_merge_pallas_batch(mean, cov, weight, active, min_separation,
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
                                              "interpret", "r_par", "metric",
-                                             "sorted_w"))
+                                             "sorted_w", "block"))
 def gm_merge_pallas_batch_packed(packed, min_separation, out_cap,
                                  interpret=False, r_par=8, metric=0,
-                                 sorted_w=False):
+                                 sorted_w=False, block=None):
     """2D merge on pre-packed SoA planes [P, 7, N]: w, act, mx, my, c00,
     c01, c11. Callers that already hold per-component planes (the deferred
     candidate gather) avoid ever materializing [P, N, 2]/[P, N, 2, 2]
-    arrays, whose 2-wide minor dims pad 64x under (8, 128) tiling."""
+    arrays, whose 2-wide minor dims pad 64x under (8, 128) tiling.
+
+    ``block`` overrides the 8-row particle block: at NARROW lane widths
+    the greedy loop is trip-LATENCY bound (measured: tiled [4P, 128]
+    lanes at block 8 cost the same as [P, 384] — blocks x trips is
+    invariant), so batch-folded callers (the spatially-tiled dispatch)
+    pack 32 rows per program to cut the sequential trip count."""
     P, C, N = packed.shape
     assert C == 7
 
     # Particle-block vectorization: fill the VPU's sublanes with 8 particles
     # per program instead of one. Pad P up to a block multiple with inert
     # (act = 0) particles.
-    B = _MERGE_BLOCK if P >= _MERGE_BLOCK else P
+    B = block or (_MERGE_BLOCK if P >= _MERGE_BLOCK else P)
     P_pad = ((P + B - 1) // B) * B
     if P_pad != P:
         packed = jnp.concatenate(

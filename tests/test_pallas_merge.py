@@ -313,3 +313,130 @@ def test_fused_gather_merge_matches_two_kernel_route():
                           ("mean", "cov", "w", "dlogw", "overflow")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# Spatially-tiled merge (merge_spatial_tiles=4)
+# ---------------------------------------------------------------------------
+
+def _packed_sorted_prefix(mean, cov, w, act):
+    """Pack (mean, cov, w, act) into weight-sorted-prefix [P, 7, N] planes
+    as stage-2 compaction emits them."""
+    neg = jnp.where(act, -w, 1.0)
+    order = jnp.argsort(neg, axis=-1)
+    mean_s = jnp.take_along_axis(mean, order[..., None], axis=1)
+    cov_s = jnp.take_along_axis(cov, order[..., None, None], axis=1)
+    w_s = jnp.where(jnp.take_along_axis(act, order, axis=1),
+                    jnp.take_along_axis(w, order, axis=1), 0.0)
+    act_s = (w_s > 0)
+    return jnp.stack([w_s, act_s.astype(jnp.float32),
+                      mean_s[..., 0], mean_s[..., 1],
+                      cov_s[..., 0, 0], cov_s[..., 0, 1],
+                      cov_s[..., 1, 1]], axis=1)
+
+
+def _quadrant_case(P=4, N=320, seed=0, spread=1.0, n_act=180):
+    """Candidates in 4 blobs far apart (one per centroid quadrant):
+    cross-tile pairs within min_separation cannot exist, so the tiled
+    merge must reproduce the exact sequential greedy's cluster set."""
+    rng = np.random.default_rng(seed)
+    centers = np.array([[-10.0, -10.0], [-10.0, 10.0],
+                        [10.0, -10.0], [10.0, 10.0]])
+    idx = rng.integers(0, 4, (P, N))
+    mean = centers[idx] + rng.normal(0, spread, (P, N, 2))
+    cov = np.broadcast_to(np.eye(2) * 0.3, (P, N, 2, 2)).copy()
+    w = rng.uniform(0.05, 1, (P, N)).astype(np.float32)
+    act = np.arange(N)[None, :] < n_act
+    act = np.broadcast_to(act, (P, N)).copy()
+    return (jnp.asarray(mean, jnp.float32), jnp.asarray(cov, jnp.float32),
+            jnp.asarray(w), jnp.asarray(act))
+
+
+def _cluster_sets(mg):
+    """Per-particle clusters as (w, mx, my) rows lex-sorted by position —
+    order-insensitive comparison form."""
+    om, oc, ow = np.asarray(mg[0]), np.asarray(mg[1]), np.asarray(mg[2])
+    outs = []
+    for p in range(ow.shape[0]):
+        live = ow[p] > 0
+        rows = np.stack([ow[p][live], om[p, live, 0], om[p, live, 1],
+                         oc[p, live, 0, 0], oc[p, live, 0, 1],
+                         oc[p, live, 1, 1]], axis=1)
+        key = np.lexsort((rows[:, 2], rows[:, 1]))
+        outs.append(rows[key])
+    return outs
+
+
+def _dispatch(packed, tiles, out_cap=64, min_sep=4.0):
+    import dataclasses
+
+    from phdslam_tpu.config import SlamConfig
+    from phdslam_tpu.ops.gm_merge import merge_batch_dispatch_packed
+    cfg = SlamConfig(min_separation=min_sep, distance_metric=0,
+                     pallas_merge=2 if INTERPRET else 1,
+                     merge_spatial_tiles=tiles)
+    return merge_batch_dispatch_packed(packed, 2, cfg, out_cap,
+                                       sorted_prefix=True)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_tiled_merge_exact_on_separated_quadrants(seed):
+    packed = _packed_sorted_prefix(*_quadrant_case(seed=seed))
+    ref = _dispatch(packed, 0, out_cap=128)
+    got = _dispatch(packed, 4, out_cap=128)
+    assert int(np.asarray(ref[4]).sum()) == 0   # no capacity drops
+    for r, g in zip(_cluster_sets(ref), _cluster_sets(got)):
+        assert r.shape == g.shape
+        np.testing.assert_allclose(g, r, rtol=1e-4, atol=1e-4)
+    # the tiled n_merged is a prefix BOUND (T * max per-tile count);
+    # live-cluster counts themselves must match the exact merge
+    assert np.array_equal(
+        np.sum(np.asarray(got[2]) > 0, axis=1),
+        np.sum(np.asarray(ref[2]) > 0, axis=1))
+    np.testing.assert_array_equal(np.asarray(got[4]), np.asarray(ref[4]))
+
+
+def test_tiled_merge_conserves_mass_on_random_clusters():
+    """Generic (boundary-crossing) case: tiling may split a boundary pair
+    into two clusters, but total preserved mass is exact and the cluster
+    count can only grow vs the exact greedy (never lose mass/clusters)."""
+    mean, cov, w, act = random_case(4, 320, 64, seed=5, cluster=True)
+    act = act & (jnp.arange(320)[None, :] < 260)
+    packed = _packed_sorted_prefix(mean, cov, w, act)
+    ref = _dispatch(packed, 0, out_cap=128)
+    got = _dispatch(packed, 4, out_cap=128)
+    w_in = float(jnp.sum(packed[:, 0]))
+    assert int(ref[4].sum()) == 0 and int(got[4].sum()) == 0
+    np.testing.assert_allclose(float(jnp.sum(got[2])), w_in, rtol=1e-5)
+    np.testing.assert_allclose(float(jnp.sum(ref[2])), w_in, rtol=1e-5)
+    n_ref = np.sum(np.asarray(ref[2]) > 0, axis=1)
+    n_got = np.sum(np.asarray(got[2]) > 0, axis=1)
+    assert np.all(n_got >= n_ref)
+    # n_merged reports the post-half prefix bound: every live lane of the
+    # interleaved output must sit inside it
+    K = 128
+    lanes = np.asarray(got[2]) > 0
+    last_live = np.where(lanes.any(1), K - np.argmax(lanes[:, ::-1], 1), 0)
+    assert np.all(last_live <= np.asarray(got[3]))
+
+
+def test_tiled_merge_overflow_falls_back_to_exact():
+    """When one tile exceeds the widest tile build, the dispatch takes the
+    exact untiled branch bit-for-bit."""
+    rng = np.random.default_rng(7)
+    P, N = 2, 512
+    # 420 near-coincident candidates + 92 far away: the centroid sits
+    # between, so one quadrant holds > 384 lanes -> untiled branch
+    mean = np.concatenate([
+        rng.normal(0, 0.05, (P, 420, 2)),
+        rng.normal(0, 1.0, (P, 92, 2)) + np.array([100.0, 100.0])], axis=1)
+    cov = np.broadcast_to(np.eye(2) * 0.3, (P, N, 2, 2)).copy()
+    w = rng.uniform(0.05, 1, (P, N)).astype(np.float32)
+    act = np.ones((P, N), bool)
+    packed = _packed_sorted_prefix(
+        jnp.asarray(mean, jnp.float32), jnp.asarray(cov, jnp.float32),
+        jnp.asarray(w), jnp.asarray(act))
+    ref = _dispatch(packed, 0, out_cap=128)
+    got = _dispatch(packed, 4, out_cap=128)
+    for a, b in zip(got[:3], ref[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
