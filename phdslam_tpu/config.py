@@ -254,14 +254,16 @@ class SlamConfig:
     # 2 = force interpret mode (CPU testing). Only engages on the fast
     # path with 0 < detection_topk < max_features.
     pallas_detect: int = 1
-    # Adaptive top-T extraction trips in the fused detect kernel: the
-    # T-trip argmax loop dominates the kernel (~4 [B, M, K] passes per
-    # trip vs ~15 for the whole grid eval) while live lanes per
-    # measurement are typically far fewer than T; a while_loop exits once
-    # the block's lanes are exhausted — output EXACTLY equals the static
+    # Adaptive top-T extraction trips in the fused detect kernel: a
+    # while_loop exits once the block's live lanes are exhausted instead
+    # of running all T static trips — output EXACTLY equals the static
     # unroll's (exhausted trips emit (0, 0) on both paths; see
-    # ops/pallas_detect.py::_detect_kernel). 1 = on, 0 = static unroll.
-    detect_adaptive: int = 1
+    # ops/pallas_detect.py::_detect_kernel). MEASURED NEUTRAL end-to-end
+    # (dense P=1024 43.3 -> 44.0, ackerman P=10240 15.3 -> 14.7 — the
+    # per-trip exit check costs what the skipped trips save at these
+    # live counts), so OFF by default; kept as a pinned-equivalent
+    # variant for very-sparse regimes (live << T).
+    detect_adaptive: int = 0
     # Feature-width switching (filters/phd.py::_batched_update): run the
     # pre-half + merge on the map's live weight-sorted prefix ([:, :K/4]
     # or [:, :K/2]), lax.switched on the batch's max live count — exact

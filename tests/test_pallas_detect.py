@@ -136,3 +136,18 @@ def test_fused_detect_ragged_block():
     assert np.all(np.asarray(kv) == 0.0)
     assert np.all(np.asarray(kc) == 0)
     np.testing.assert_allclose(np.asarray(kn), cb, rtol=1e-6)
+
+
+def test_adaptive_trips_bitequal_to_static():
+    """detect_adaptive=1 (while_loop exit once the block's lanes are
+    exhausted) must be BIT-equal to the static T-trip unroll — including
+    the (0, 0) emissions for exhausted trips and partially-dead rows."""
+    T, min_fw, cb = 8, 1e-3, 0.05   # T > typical live count -> dead trips
+    planes, z4 = make_case(3)
+    a = detection_topT_batch(planes, z4, T, min_fw, cb,
+                             interpret=INTERPRET, adaptive=True)
+    s = detection_topT_batch(planes, z4, T, min_fw, cb,
+                             interpret=INTERPRET, adaptive=False)
+    for x, y, name in zip(a, s, ("vals", "idx", "norm", "count")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
