@@ -174,12 +174,14 @@ def merge_batch_dispatch(mean, cov, weight, active, cfg, out_cap,
         # compaction emits them sorted): the 2D kernel then picks its
         # greedy principals with one cumsum instead of R argmax reductions
         rp = max(1, getattr(cfg, "merge_r_par", 8))
+        blk = int(getattr(cfg, "merge_block", 0)) or None
         fn = {2: _ft.partial(gm_merge_pallas_batch, metric=metric,
-                             sorted_w=sorted_prefix, r_par=rp),
+                             sorted_w=sorted_prefix, r_par=rp, block=blk),
               3: _ft.partial(gm_merge_pallas_batch_3d,
-                             sorted_w=sorted_prefix, r_par=rp),
+                             sorted_w=sorted_prefix, r_par=rp, block=blk),
               4: _ft.partial(gm_merge_pallas_batch_4d,
-                             sorted_w=sorted_prefix, r_par=rp)}[D]
+                             sorted_w=sorted_prefix, r_par=rp,
+                             block=blk)}[D]
         interpret = cfg.pallas_merge == 2
         if interpret or pallas_available():
             N = mean.shape[1]
@@ -343,10 +345,12 @@ def merge_batch_dispatch_packed(packed, D, cfg, out_cap,
         # sorted_prefix also means weight-DESCENDING active lanes — see
         # merge_batch_dispatch
         rp = max(1, getattr(cfg, "merge_r_par", 8))
+        blk = int(getattr(cfg, "merge_block", 0)) or None
         fn = {2: _ft.partial(gm_merge_pallas_batch_packed, metric=metric,
-                             sorted_w=sorted_prefix, r_par=rp),
+                             sorted_w=sorted_prefix, r_par=rp, block=blk),
               4: _ft.partial(gm_merge_pallas_batch_packed_4d,
-                             sorted_w=sorted_prefix, r_par=rp)}[D]
+                             sorted_w=sorted_prefix, r_par=rp,
+                             block=blk)}[D]
         interpret = cfg.pallas_merge == 2
         if interpret or pallas_available():
             N = packed.shape[-1]

@@ -270,7 +270,7 @@ def gm_merge_pallas_one(mean, cov, weight, active, min_separation, out_cap,
 
 def gm_merge_pallas_batch(mean, cov, weight, active, min_separation,
                           out_cap, interpret=False, r_par=8, metric=0,
-                          sorted_w=False):
+                          sorted_w=False, block=None):
     """Drop-in replacement for gm_merge_batch (D == 2, Mahalanobis).
 
     mean [P, N, 2], cov [P, N, 2, 2], weight [P, N], active [P, N] ->
@@ -284,7 +284,8 @@ def gm_merge_pallas_batch(mean, cov, weight, active, min_separation,
         mean[..., 0], mean[..., 1],
         cov[..., 0, 0], cov[..., 0, 1], cov[..., 1, 1]], axis=1)  # [P, 7, N]
     return gm_merge_pallas_batch_packed(packed, min_separation, out_cap,
-                                        interpret, r_par, metric, sorted_w)
+                                        interpret, r_par, metric, sorted_w,
+                                        block)
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
@@ -657,13 +658,14 @@ def gm_merge_pallas_one_3d(mean, cov, weight, active, min_separation,
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
                                              "interpret", "r_par",
-                                             "sorted_w"))
+                                             "sorted_w", "block"))
 def gm_merge_pallas_batch_3d(mean, cov, weight, active, min_separation,
                              out_cap, interpret=False, r_par=8,
-                             sorted_w=False):
+                             sorted_w=False, block=None):
     """Batch 3D merge: mean [P, N, 3], cov [P, N, 3, 3], weight/active
     [P, N] -> (out_mean [P,K,3], out_cov [P,K,3,3], out_w [P,K],
-    n_merged [P], n_dropped [P])."""
+    n_merged [P], n_dropped [P]). ``block`` as in
+    :func:`gm_merge_pallas_batch_packed`."""
     P, N, D = mean.shape
     assert D == 3
     packed = jnp.stack([
@@ -672,7 +674,7 @@ def gm_merge_pallas_batch_3d(mean, cov, weight, active, min_separation,
         cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
         cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2]], axis=1)
 
-    B = _MERGE_BLOCK if P >= _MERGE_BLOCK else P
+    B = block or (_MERGE_BLOCK if P >= _MERGE_BLOCK else P)
     P_pad = ((P + B - 1) // B) * B
     if P_pad != P:
         packed = jnp.concatenate(
@@ -881,7 +883,7 @@ def gm_merge_pallas_one_4d(mean, cov, weight, active, min_separation,
 
 def gm_merge_pallas_batch_4d(mean, cov, weight, active, min_separation,
                              out_cap, interpret=False, r_par=8,
-                             sorted_w=False):
+                             sorted_w=False, block=None):
     """Batch 4D merge: mean [P, N, 4], cov [P, N, 4, 4] -> (out_mean
     [P,K,4], out_cov [P,K,4,4], out_w [P,K], n_merged [P], n_dropped [P])."""
     P, N, D = mean.shape
@@ -891,21 +893,24 @@ def gm_merge_pallas_batch_4d(mean, cov, weight, active, min_separation,
         + [cov[..., a, b] for a, b in _PAIRS4]
     packed = jnp.stack(planes, axis=1)                  # [P, 16, N]
     return gm_merge_pallas_batch_packed_4d(packed, min_separation, out_cap,
-                                           interpret, r_par, sorted_w)
+                                           interpret, r_par, sorted_w,
+                                           block)
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
                                              "interpret", "r_par",
-                                             "sorted_w"))
+                                             "sorted_w", "block"))
 def gm_merge_pallas_batch_packed_4d(packed, min_separation, out_cap,
                                     interpret=False, r_par=8,
-                                    sorted_w=False):
+                                    sorted_w=False, block=None):
     """4D merge on pre-packed SoA planes [P, 16, N]: w, act, m0..m3, then
-    the 10 upper-triangle covariance planes in _PAIRS4 order."""
+    the 10 upper-triangle covariance planes in _PAIRS4 order. ``block``
+    as in :func:`gm_merge_pallas_batch_packed` (trip-latency
+    amortization at narrow widths)."""
     P, C, N = packed.shape
     assert C == 16
 
-    B = _MERGE_BLOCK if P >= _MERGE_BLOCK else P
+    B = block or (_MERGE_BLOCK if P >= _MERGE_BLOCK else P)
     P_pad = ((P + B - 1) // B) * B
     if P_pad != P:
         packed = jnp.concatenate(

@@ -440,3 +440,18 @@ def test_tiled_merge_overflow_falls_back_to_exact():
     got = _dispatch(packed, 4, out_cap=128)
     for a, b in zip(got[:3], ref[:3]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("block", [4, 32])
+def test_merge_block_size_equivalent(block):
+    """The particle block groups rows for trip-latency amortization only
+    (cfg.merge_block): outputs must be identical at any block size."""
+    from phdslam_tpu.ops.pallas_merge import gm_merge_pallas_batch_packed
+    mean, cov, w, act = random_case(6, 64, 16, seed=9, cluster=True)
+    packed = _packed_sorted_prefix(mean, cov, w, act)
+    ref = gm_merge_pallas_batch_packed(packed, 4.0, 16,
+                                       interpret=INTERPRET, sorted_w=True)
+    got = gm_merge_pallas_batch_packed(packed, 4.0, 16, interpret=INTERPRET,
+                                       sorted_w=True, block=block)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -45,7 +45,8 @@ def bench(P=512, K=128, M=32, T=100, fast=1, reps=3):
         # 25-run MC metrics bit-identical (the dynamic map's live
         # candidates never reach it at protocol scales; drops would be
         # overflow-counted)
-        merge_candidate_cap_dynamic=int(os.environ.get("CAPD", "128")))
+        merge_candidate_cap_dynamic=int(os.environ.get("CAPD", "128")),
+        merge_block=int(os.environ.get("MBLK", "0")))
     state = init_state(cfg)
 
     rng = np.random.default_rng(0)
