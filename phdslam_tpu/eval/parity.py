@@ -21,13 +21,18 @@ from ..slam import SynthSLAMRunner
 def evaluate_dataset(cfg_path: str, repo_root: str = ".",
                      n_steps: Optional[int] = None,
                      overrides: Optional[dict] = None,
-                     ospa_samples: int = 32, runner: str = "scanned"):
+                     ospa_samples: Optional[int] = None,
+                     runner: str = "scanned"):
     """Run the filter on a dataset and score against its ground truth.
+
+    OSPA is scored on EVERY measurement step by default — the reference's
+    protocol (python/batch_analyze.py:29-33 scores each step); pass
+    ``ospa_samples`` to subsample (legacy round-1..4 behavior).
 
     ``runner``: "scanned" = the whole sequence as one on-device lax.scan;
     "chunked" = fixed-size scan chunks (use for very large configs — a
     single long dispatch over the axon tunnel can hit the relay timeout).
-    Returns dict with pose_err [T], ospa (sampled), throughput, etc.
+    Returns dict with pose_err [T], ospa [T or sampled], throughput, etc.
     """
     cfg = load_config(cfg_path, overrides)
     data_dir = os.path.join(repo_root, cfg.data_directory)
@@ -54,7 +59,7 @@ def evaluate_dataset(cfg_path: str, repo_root: str = ".",
     pose_err = np.linalg.norm(est[:T, :2] - traj[np.asarray(zidx[:T]), :2],
                               axis=1)
 
-    ospa_every = max(1, T // ospa_samples)
+    ospa_every = max(1, T // ospa_samples) if ospa_samples else 1
     ospas = []
     for j in range(0, T, ospa_every):
         est_map = extract_map_estimate(res["map_weights"][midx[j]],

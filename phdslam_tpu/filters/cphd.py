@@ -627,7 +627,7 @@ def cphd_update(state: FilterState, z, z_mask, consts, cfg: SlamConfig):
                             jnp.zeros_like(z[:, 0])], axis=1)
             det = detection_topT_batch(
                 planes, z4, T_, 0.0, 0.0, interpret=interp,
-                adaptive=bool(getattr(cfg, "detect_adaptive", 1)))
+                adaptive=bool(getattr(cfg, "detect_adaptive", 0)))
 
     if det is not None:
         pre = jax.vmap(

@@ -413,7 +413,7 @@ def _batched_mixed_update(pose, gs, gd, z, z_label, z_mask,
                 p, m, c, w, cfg))(pose, gs.mean, gs.cov, gs.weight)
             pl_d = jax.vmap(lambda p, m, c, w: _detection_planes_single(
                 p, m, c, w, cfg))(pose, gd.mean, gd.cov, gd.weight)
-            adpt = bool(getattr(cfg, "detect_adaptive", 1))
+            adpt = bool(getattr(cfg, "detect_adaptive", 0))
             det_s = detection_topT_batch(pl_s, z4, T, 0.0, 0.0,
                                          interpret=interp, adaptive=adpt)
             det_d = detection_topT_batch(pl_d, z4, T, 0.0, 0.0,

@@ -792,7 +792,7 @@ def _pre_merge_phase(pose, mean, cov, weight, z, z_mask,
                 float(cfg.clutter_density + cfg.birth_weight),
                 interpret=interp,
                 min_sep=float(cfg.min_separation) if consolidate else 0.0,
-                adaptive=bool(getattr(cfg, "detect_adaptive", 1)))
+                adaptive=bool(getattr(cfg, "detect_adaptive", 0)))
             if consolidate:
                 det, cons = res[:4], res[4]
             else:

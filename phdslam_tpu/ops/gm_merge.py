@@ -308,12 +308,18 @@ def _tiled_merge_packed(packed, cfg, out_cap, interpret, r_par, T=4):
                 P, out_cap)
             nm2 = nm.reshape(P, T)
             nm_bound = T * jnp.max(nm2, axis=1)
-            nd = (nd.reshape(P, T).sum(axis=1)
-                  + jnp.sum(jnp.maximum(counts_ - ct, 0), axis=1))
+            # branch selection guarantees counts_ <= ct here, so no
+            # components are truncated by the per-tile padding
+            nd = nd.reshape(P, T).sum(axis=1)
             return om, oc, ow, nm_bound, nd
         return branch
 
     def untiled(pk, counts_, starts_):
+        # overflow fallback (n_tile_max beyond the largest tile cap):
+        # full-width merge on the original weight-sorted planes. This
+        # regime means one tile holds >384 live components, i.e. the
+        # global live extent is already near N — width switching would
+        # pick the widest branch anyway, so full width costs nothing.
         return gm_merge_pallas_batch_packed(
             packed, float(cfg.min_separation), out_cap,
             interpret=interpret, r_par=r_par, metric=0, sorted_w=True)

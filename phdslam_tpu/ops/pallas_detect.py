@@ -48,7 +48,7 @@ def _wrap_angle(a):
 
 def _detect_kernel(planes_ref, z_ref, out_ref, cons_ref=None, *, n_feat,
                    n_meas, top_t, min_fw, cb, block, min_sep=0.0,
-                   adaptive=True):
+                   adaptive=False):
     """planes [B, 6, K]: r, bearing, si00, si01, si11, pref (pd * w /
     (2 pi sqrt det S), zeroed for out-of-range features).
     z [M, 4]: zr, zb, valid, pad (broadcast across particles).
@@ -234,7 +234,7 @@ def _pick_block(P, M, K, T, planes_per=9):
 
 
 def _detect_call(planes, z4, top_t, min_fw, cb, interpret, min_sep=0.0,
-                 adaptive=True):
+                 adaptive=False):
     """One pallas_call at a fixed measurement width M = z4.shape[0].
     Consolidating variant (13 plane rows) when min_sep > 0."""
     P, C, K = planes.shape
@@ -279,7 +279,7 @@ def _detect_call(planes, z4, top_t, min_fw, cb, interpret, min_sep=0.0,
                                              "interpret", "min_sep",
                                              "adaptive"))
 def detection_topT_batch(planes, z4, top_t, min_fw, cb, interpret=False,
-                         min_sep=0.0, adaptive=True):
+                         min_sep=0.0, adaptive=False):
     """Batched fused detection + top-T selection.
 
     planes [P, 6, K] f32, z4 [M, 4] f32 (zr, zb, valid, pad) ->

@@ -175,7 +175,7 @@ def main(P=10240, K=128, M=32):
     # --- predict (vehicle + jump-Markov) --------------------------------
     from phdslam_tpu.filters.phd import predict as phd_predict
     pred = jax.jit(lambda st: phd_predict(st, ctrl, jnp.float32(0.5),
-                                          jax.random.PRNGKey(3), cfg))
+                                          cfg, jax.random.PRNGKey(3)))
     st_vars = [(state.replace(rng=jax.random.PRNGKey(i)),) for i in range(6)]
     print(f"predict:            {timed(pred, st_vars):7.2f} ms", flush=True)
 
