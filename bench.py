@@ -156,8 +156,11 @@ def main():
         ("dense_10240p_1024k", lambda: _row("cfg/dense.cfg", "data/dense",
                                             10240, "chunked", reps=1,
                                             chunk=4)),
+        # best-of-3: this row's session band was the matrix's widest
+        # (155-217, a 40% spread) with a single draw; more reps halve it
+        # (round-5 verdict item 7)
         ("cphd_512p", lambda: _row(cphd, "data/ackerman", 512,
-                                   "chunked", reps=1)),
+                                   "chunked", reps=3)),
         # best-of-2: this row sits right at the 10/s real-time bar and a
         # single tunnel draw has a ±10-15% band (round-3 verdict: the
         # artifact of record must carry the margin, not the prose)

@@ -203,15 +203,24 @@ class SlamConfig:
     # Pallas merge: clusters extracted per while-loop trip (R-way exact
     # greedy; see ops/pallas_merge.py — R=8 measured optimal at P=512)
     merge_r_par: int = 8
-    # Pallas merge particle-block rows per program (0 = default 8). The
-    # greedy loop is per-trip LATENCY-bound (BENCH.md round-4b): packing
-    # more rows per program cuts the sequential trip count (trips =
-    # max cluster count over the block's rows) at the same total element
-    # work — measured ~9% at dense W=384 (block 32) and ~18% on narrow
-    # 128-lane layouts. Cluster counts are TIGHT across particles
-    # (probe_live: p0-p100 spread < 90 lanes), so the block-max tail
-    # penalty is small.
+    # Pallas merge particle-block rows per program (0 = default 32,
+    # round-5; bit-equal at any block). Packing more rows per program
+    # cuts the Mosaic grid-program count (and with it the per-trip
+    # control overhead) at the same total element work — measured faster
+    # on every driver row (ackerman P=10240 +15%, CPHD +11%, mixed +8%,
+    # dense +6%; BENCH.md round-5). Cluster counts are TIGHT across
+    # particles (probe_live: p0-p100 spread < 90 lanes), so the
+    # block-max trip-count tail penalty is small.
     merge_block: int = 0
+    # Prefix-claim assignment inside the Pallas merge trips
+    # (ops/pallas_merge.py): the R per-trip cluster extractions become
+    # independent reduction chains (sel_r = unmerged & cover_r &
+    # ~prefix-OR of earlier covers) instead of a serial ``unassigned``
+    # recurrence — identical cluster sets and BIT-EQUAL outputs (same
+    # lanes, same summation order), but the ~6 moment reductions per
+    # cluster overlap across the R principals instead of serializing.
+    # 0 = off (serial reference shape), 1 = on.
+    merge_par_assign: int = 0
     # Spatially-tiled greedy merge (ops/gm_merge.py::_tiled_merge_packed,
     # D=2 fast path): partition each particle's candidate set into 4
     # position quadrants about its live-candidate centroid, fold the

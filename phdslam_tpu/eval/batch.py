@@ -105,10 +105,13 @@ def generate_batch_datasets(out_root: str, n_runs: int = 10,
 
 
 def run_batch(cfg: SlamConfig, data_root: str, n_runs: Optional[int] = None,
-              ospa_every: int = 10, runner_mode: str = "async",
+              ospa_every: int = 1, runner_mode: str = "async",
               verbose: bool = False) -> BatchResult:
     """Run the filter over every run directory under ``data_root`` and score
-    against ``groundtruth.npz`` (batch_run.py + batch_analyze.py)."""
+    against ``groundtruth.npz`` (batch_run.py + batch_analyze.py).
+
+    OSPA is scored on every step by default — the reference's protocol
+    (batch_analyze.py:29-33); raise ``ospa_every`` to subsample."""
     gt = np.load(os.path.join(data_root, "groundtruth.npz"))
     traj, landmarks = gt["traj"], gt["landmarks"]
     cum = (gt["cumulative_counts"] if "cumulative_counts" in gt.files

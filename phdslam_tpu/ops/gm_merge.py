@@ -352,11 +352,13 @@ def merge_batch_dispatch_packed(packed, D, cfg, out_cap,
         # merge_batch_dispatch
         rp = max(1, getattr(cfg, "merge_r_par", 8))
         blk = int(getattr(cfg, "merge_block", 0)) or None
+        pa = bool(getattr(cfg, "merge_par_assign", 0))
         fn = {2: _ft.partial(gm_merge_pallas_batch_packed, metric=metric,
-                             sorted_w=sorted_prefix, r_par=rp, block=blk),
+                             sorted_w=sorted_prefix, r_par=rp, block=blk,
+                             par_assign=pa),
               4: _ft.partial(gm_merge_pallas_batch_packed_4d,
                              sorted_w=sorted_prefix, r_par=rp,
-                             block=blk)}[D]
+                             block=blk, par_assign=pa)}[D]
         interpret = cfg.pallas_merge == 2
         if interpret or pallas_available():
             N = packed.shape[-1]

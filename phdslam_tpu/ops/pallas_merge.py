@@ -30,9 +30,13 @@ from jax.experimental.pallas import tpu as pltpu
 import os
 
 # particle block size (sweep knob; read ONCE at import — a value read
-# inside a jitted function is frozen at first trace anyway). Measured
-# invariant 8-64 at P=10240: the kernel is VPU-reduction bound.
-_MERGE_BLOCK = int(os.environ.get("PHDSLAM_MERGE_BLOCK", "8"))
+# inside a jitted function is frozen at first trace anyway). Round-5:
+# default 32 — bit-equal at any block (test_merge_block_size_equivalent)
+# and measured faster end-to-end on EVERY driver row (ackerman P=10240
+# +15%, CPHD P=10240 +11%, mixed P=10240 +8%, dense +6%, P=512 rows +2%;
+# BENCH.md round-5): fewer Mosaic grid programs at the same total element
+# work amortizes the ~550-cycle per-trip control overhead.
+_MERGE_BLOCK = int(os.environ.get("PHDSLAM_MERGE_BLOCK", "32"))
 
 
 def _lane_cumsum(x, n):
@@ -49,7 +53,7 @@ def _lane_cumsum(x, n):
 
 
 def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation,
-                  block, r_par, metric=0, sorted_w=False):
+                  block, r_par, metric=0, sorted_w=False, par_assign=False):
     """Greedy merge for a BLOCK of particles, R principals per iteration.
 
     All per-iteration work is [B, N]-shaped so the VPU's 8x128 lanes are
@@ -73,15 +77,25 @@ def _merge_kernel(in_ref, out_ref, *, n_cand, out_cap, min_separation,
                    x[:, 4, :], x[:, 5, :], x[:, 6, :], out_ref,
                    n_cand=n_cand, out_cap=out_cap,
                    min_separation=min_separation, block=block,
-                   r_par=r_par, metric=metric, sorted_w=sorted_w)
+                   r_par=r_par, metric=metric, sorted_w=sorted_w,
+                   par_assign=par_assign)
 
 
 def _merge_core_2d(w, act, mx, my, c00, c01, c11, out_ref, *, n_cand,
                    out_cap, min_separation, block, r_par, metric=0,
-                   sorted_w=False):
+                   sorted_w=False, par_assign=False):
     """The [B, N]-plane greedy-merge loop shared by the packed-input kernel
     (:func:`_merge_kernel`) and the fused gather+merge kernel
-    (:func:`_merge_tables_kernel`)."""
+    (:func:`_merge_tables_kernel`).
+
+    ``par_assign``: prefix-claim assignment — the R per-trip cluster
+    extractions become INDEPENDENT reduction chains instead of a serial
+    ``unassigned`` recurrence (sel_r = unmerged & cover_r & ~(cover_0 |
+    ... | cover_{r-1}), identical sets to the sequential claim order since
+    a candidate is always claimed by its first covering principal), so
+    the ~6 moment reductions per cluster overlap across the R principals.
+    Output is bit-equal: same lanes, same summation order per cluster.
+    """
     B = block
     R = r_par
 
@@ -176,39 +190,85 @@ def _merge_core_2d(w, act, mx, my, c00, c01, c11, out_ref, *, n_cand,
             valid.append(v)
 
         # --- assignment + moment matching + emission ------------------------
-        unassigned = unmerged
-        n_emit = jnp.zeros((B, 1), jnp.int32)
-        for r in range(R):
-            slot = c + n_emit                                 # [B, 1]
-            can_emit = valid[r] & (slot < out_cap)
-            sel = (unassigned > 0.5) & ((dists[r] < min_separation) | ohs[r])
-            sel = sel & can_emit
-            self_f = sel.astype(jnp.float32)
+        if par_assign:
+            # slots/budget: [B, 1] scalar chain (cheap); claims: R-deep
+            # elementwise prefix-OR; the expensive moment reductions then
+            # run as R INDEPENDENT chains the scheduler can interleave
+            n_emit = jnp.zeros((B, 1), jnp.int32)
+            slots, can_emits = [], []
+            for r in range(R):
+                ce = valid[r] & (c + n_emit < out_cap)
+                slots.append(c + n_emit)
+                can_emits.append(ce)
+                n_emit = n_emit + ce.astype(jnp.int32)
+            sels = []
+            claimed = jnp.zeros_like(unmerged, dtype=jnp.bool_)
+            unm_b = unmerged > 0.5
+            for r in range(R):
+                cov_r = ((dists[r] < min_separation) | ohs[r]) \
+                    & can_emits[r]
+                sels.append(unm_b & cov_r & ~claimed)
+                claimed = claimed | cov_r
+            any_sel = jnp.zeros_like(unmerged)
+            for r in range(R):
+                self_f = sels[r].astype(jnp.float32)
+                any_sel = any_sel + self_f
+                sw = self_f * w
+                W = jnp.sum(sw, axis=-1, keepdims=True)       # [B, 1]
+                W_safe = jnp.maximum(W, 1e-30)
+                mu_x = jnp.sum(sw * mx, axis=-1, keepdims=True) / W_safe
+                mu_y = jnp.sum(sw * my, axis=-1, keepdims=True) / W_safe
+                ddx = mu_x - mx
+                ddy = mu_y - my
+                m00 = jnp.sum(sw * (c00 + ddx * ddx), axis=-1,
+                              keepdims=True) / W_safe
+                m01 = jnp.sum(sw * (c01 + ddx * ddy), axis=-1,
+                              keepdims=True) / W_safe
+                m11 = jnp.sum(sw * (c11 + ddy * ddy), axis=-1,
+                              keepdims=True) / W_safe
+                emit = (iota_k == slots[r]) & can_emits[r]    # [B, K]
+                ow = jnp.where(emit, W, ow)
+                omx = jnp.where(emit, mu_x, omx)
+                omy = jnp.where(emit, mu_y, omy)
+                o00 = jnp.where(emit, m00, o00)
+                o01 = jnp.where(emit, m01, o01)
+                o11 = jnp.where(emit, m11, o11)
+            unassigned = unmerged * (1.0 - any_sel)
+        else:
+            unassigned = unmerged
+            n_emit = jnp.zeros((B, 1), jnp.int32)
+            for r in range(R):
+                slot = c + n_emit                             # [B, 1]
+                can_emit = valid[r] & (slot < out_cap)
+                sel = (unassigned > 0.5) \
+                    & ((dists[r] < min_separation) | ohs[r])
+                sel = sel & can_emit
+                self_f = sel.astype(jnp.float32)
 
-            sw = self_f * w
-            W = jnp.sum(sw, axis=-1, keepdims=True)           # [B, 1]
-            W_safe = jnp.maximum(W, 1e-30)
-            mu_x = jnp.sum(sw * mx, axis=-1, keepdims=True) / W_safe
-            mu_y = jnp.sum(sw * my, axis=-1, keepdims=True) / W_safe
-            ddx = mu_x - mx
-            ddy = mu_y - my
-            m00 = jnp.sum(sw * (c00 + ddx * ddx), axis=-1,
-                          keepdims=True) / W_safe
-            m01 = jnp.sum(sw * (c01 + ddx * ddy), axis=-1,
-                          keepdims=True) / W_safe
-            m11 = jnp.sum(sw * (c11 + ddy * ddy), axis=-1,
-                          keepdims=True) / W_safe
+                sw = self_f * w
+                W = jnp.sum(sw, axis=-1, keepdims=True)       # [B, 1]
+                W_safe = jnp.maximum(W, 1e-30)
+                mu_x = jnp.sum(sw * mx, axis=-1, keepdims=True) / W_safe
+                mu_y = jnp.sum(sw * my, axis=-1, keepdims=True) / W_safe
+                ddx = mu_x - mx
+                ddy = mu_y - my
+                m00 = jnp.sum(sw * (c00 + ddx * ddx), axis=-1,
+                              keepdims=True) / W_safe
+                m01 = jnp.sum(sw * (c01 + ddx * ddy), axis=-1,
+                              keepdims=True) / W_safe
+                m11 = jnp.sum(sw * (c11 + ddy * ddy), axis=-1,
+                              keepdims=True) / W_safe
 
-            emit = (iota_k == slot) & can_emit                # [B, K]
-            ow = jnp.where(emit, W, ow)
-            omx = jnp.where(emit, mu_x, omx)
-            omy = jnp.where(emit, mu_y, omy)
-            o00 = jnp.where(emit, m00, o00)
-            o01 = jnp.where(emit, m01, o01)
-            o11 = jnp.where(emit, m11, o11)
+                emit = (iota_k == slot) & can_emit            # [B, K]
+                ow = jnp.where(emit, W, ow)
+                omx = jnp.where(emit, mu_x, omx)
+                omy = jnp.where(emit, mu_y, omy)
+                o00 = jnp.where(emit, m00, o00)
+                o01 = jnp.where(emit, m01, o01)
+                o11 = jnp.where(emit, m11, o11)
 
-            unassigned = unassigned * (1.0 - self_f)
-            n_emit = n_emit + can_emit.astype(jnp.int32)
+                unassigned = unassigned * (1.0 - self_f)
+                n_emit = n_emit + can_emit.astype(jnp.int32)
 
         # guaranteed progress: a row with budget left that emitted nothing
         # has no usable principal (all remaining weights NaN or <= 0 —
@@ -290,10 +350,12 @@ def gm_merge_pallas_batch(mean, cov, weight, active, min_separation,
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
                                              "interpret", "r_par", "metric",
-                                             "sorted_w", "block"))
+                                             "sorted_w", "block",
+                                             "par_assign"))
 def gm_merge_pallas_batch_packed(packed, min_separation, out_cap,
                                  interpret=False, r_par=8, metric=0,
-                                 sorted_w=False, block=None):
+                                 sorted_w=False, block=None,
+                                 par_assign=False):
     """2D merge on pre-packed SoA planes [P, 7, N]: w, act, mx, my, c00,
     c01, c11. Callers that already hold per-component planes (the deferred
     candidate gather) avoid ever materializing [P, N, 2]/[P, N, 2, 2]
@@ -320,7 +382,7 @@ def gm_merge_pallas_batch_packed(packed, min_separation, out_cap,
         functools.partial(_merge_kernel, n_cand=N, out_cap=out_cap,
                           min_separation=float(min_separation), block=B,
                           r_par=max(1, r_par), metric=metric,
-                          sorted_w=sorted_w),
+                          sorted_w=sorted_w, par_assign=par_assign),
         out_shape=jax.ShapeDtypeStruct((P_pad, 8, out_cap), jnp.float32),
         grid=(P_pad // B,),
         in_specs=[pl.BlockSpec((B, 7, N), lambda p: (p, 0, 0),
@@ -721,7 +783,7 @@ _PAIRS4 = ((0, 0), (0, 1), (0, 2), (0, 3), (1, 1), (1, 2), (1, 3),
 
 
 def _merge_kernel_4d(in_ref, out_ref, *, n_cand, out_cap, min_separation,
-                     block, r_par, sorted_w=False):
+                     block, r_par, sorted_w=False, par_assign=False):
     """4D-feature greedy merge — same algorithm and R-way exact-greedy
     parallelization as :func:`_merge_kernel`. The Mahalanobis quadratic
     form uses the symmetric 2x2-block Schur identity
@@ -820,32 +882,70 @@ def _merge_kernel_4d(in_ref, out_ref, *, n_cand, out_cap, min_separation,
                 v = v & ~(valid[s_] & (d_sr < min_separation))
             valid.append(v)
 
-        unassigned = unmerged
-        n_emit = jnp.zeros((B, 1), jnp.int32)
-        for r in range(R):
-            slot = cnt + n_emit
-            can_emit = valid[r] & (slot < out_cap)
-            sel = (unassigned > 0.5) & ((dists[r] < min_separation) | ohs[r])
-            sel = sel & can_emit
-            self_f = sel.astype(jnp.float32)
+        if par_assign:
+            # prefix-claim assignment: identical cluster sets, independent
+            # per-principal moment chains (see _merge_core_2d)
+            n_emit = jnp.zeros((B, 1), jnp.int32)
+            slots, can_emits = [], []
+            for r in range(R):
+                ce = valid[r] & (cnt + n_emit < out_cap)
+                slots.append(cnt + n_emit)
+                can_emits.append(ce)
+                n_emit = n_emit + ce.astype(jnp.int32)
+            sels = []
+            claimed = jnp.zeros_like(unmerged, dtype=jnp.bool_)
+            unm_b = unmerged > 0.5
+            for r in range(R):
+                cov_r = ((dists[r] < min_separation) | ohs[r]) \
+                    & can_emits[r]
+                sels.append(unm_b & cov_r & ~claimed)
+                claimed = claimed | cov_r
+            any_sel = jnp.zeros_like(unmerged)
+            for r in range(R):
+                self_f = sels[r].astype(jnp.float32)
+                any_sel = any_sel + self_f
+                sw = self_f * w
+                W = jnp.sum(sw, axis=-1, keepdims=True)
+                W_safe = jnp.maximum(W, 1e-30)
+                mu = [jnp.sum(sw * mi, axis=-1, keepdims=True) / W_safe
+                      for mi in m]
+                dd = [mui - mi for mui, mi in zip(mu, m)]
+                mc = [jnp.sum(sw * (c[i] + dd[a] * dd[b]), axis=-1,
+                              keepdims=True) / W_safe
+                      for i, (a, b) in enumerate(_PAIRS4)]
+                emit = (iota_k == slots[r]) & can_emits[r]
+                ow = jnp.where(emit, W, ow)
+                om = [jnp.where(emit, mu[i], om[i]) for i in range(4)]
+                oc = [jnp.where(emit, mc[i], oc[i]) for i in range(10)]
+            unassigned = unmerged * (1.0 - any_sel)
+        else:
+            unassigned = unmerged
+            n_emit = jnp.zeros((B, 1), jnp.int32)
+            for r in range(R):
+                slot = cnt + n_emit
+                can_emit = valid[r] & (slot < out_cap)
+                sel = (unassigned > 0.5) \
+                    & ((dists[r] < min_separation) | ohs[r])
+                sel = sel & can_emit
+                self_f = sel.astype(jnp.float32)
 
-            sw = self_f * w
-            W = jnp.sum(sw, axis=-1, keepdims=True)
-            W_safe = jnp.maximum(W, 1e-30)
-            mu = [jnp.sum(sw * mi, axis=-1, keepdims=True) / W_safe
-                  for mi in m]
-            dd = [mui - mi for mui, mi in zip(mu, m)]
-            mc = [jnp.sum(sw * (c[i] + dd[a] * dd[b]), axis=-1,
-                          keepdims=True) / W_safe
-                  for i, (a, b) in enumerate(_PAIRS4)]
+                sw = self_f * w
+                W = jnp.sum(sw, axis=-1, keepdims=True)
+                W_safe = jnp.maximum(W, 1e-30)
+                mu = [jnp.sum(sw * mi, axis=-1, keepdims=True) / W_safe
+                      for mi in m]
+                dd = [mui - mi for mui, mi in zip(mu, m)]
+                mc = [jnp.sum(sw * (c[i] + dd[a] * dd[b]), axis=-1,
+                              keepdims=True) / W_safe
+                      for i, (a, b) in enumerate(_PAIRS4)]
 
-            emit = (iota_k == slot) & can_emit
-            ow = jnp.where(emit, W, ow)
-            om = [jnp.where(emit, mu[i], om[i]) for i in range(4)]
-            oc = [jnp.where(emit, mc[i], oc[i]) for i in range(10)]
+                emit = (iota_k == slot) & can_emit
+                ow = jnp.where(emit, W, ow)
+                om = [jnp.where(emit, mu[i], om[i]) for i in range(4)]
+                oc = [jnp.where(emit, mc[i], oc[i]) for i in range(10)]
 
-            unassigned = unassigned * (1.0 - self_f)
-            n_emit = n_emit + can_emit.astype(jnp.int32)
+                unassigned = unassigned * (1.0 - self_f)
+                n_emit = n_emit + can_emit.astype(jnp.int32)
 
         # guaranteed progress (see the 2D kernel)
         stalled = (n_emit == 0) & (cnt < out_cap)             # [B, 1]
@@ -899,10 +999,12 @@ def gm_merge_pallas_batch_4d(mean, cov, weight, active, min_separation,
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "min_separation",
                                              "interpret", "r_par",
-                                             "sorted_w", "block"))
+                                             "sorted_w", "block",
+                                             "par_assign"))
 def gm_merge_pallas_batch_packed_4d(packed, min_separation, out_cap,
                                     interpret=False, r_par=8,
-                                    sorted_w=False, block=None):
+                                    sorted_w=False, block=None,
+                                    par_assign=False):
     """4D merge on pre-packed SoA planes [P, 16, N]: w, act, m0..m3, then
     the 10 upper-triangle covariance planes in _PAIRS4 order. ``block``
     as in :func:`gm_merge_pallas_batch_packed` (trip-latency
@@ -919,7 +1021,8 @@ def gm_merge_pallas_batch_packed_4d(packed, min_separation, out_cap,
     out = pl.pallas_call(
         functools.partial(_merge_kernel_4d, n_cand=N, out_cap=out_cap,
                           min_separation=float(min_separation), block=B,
-                          r_par=max(1, r_par), sorted_w=sorted_w),
+                          r_par=max(1, r_par), sorted_w=sorted_w,
+                          par_assign=par_assign),
         out_shape=jax.ShapeDtypeStruct((P_pad, 16, out_cap), jnp.float32),
         grid=(P_pad // B,),
         in_specs=[pl.BlockSpec((B, 16, N), lambda p: (p, 0, 0),

@@ -455,3 +455,54 @@ def test_merge_block_size_equivalent(block):
                                        sorted_w=True, block=block)
     for a, b in zip(got, ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("sorted_w", [False, True])
+def test_merge_par_assign_bitequal(sorted_w):
+    """Prefix-claim assignment (cfg.merge_par_assign) must be BIT-equal to
+    the serial recurrence: a candidate is always claimed by its first
+    covering principal, so the cluster sets — and each cluster's masked
+    summation order — are identical (ops/pallas_merge.py)."""
+    from phdslam_tpu.ops.pallas_merge import gm_merge_pallas_batch_packed
+    mean, cov, w, act = random_case(6, 64, 16, seed=11, cluster=True)
+    packed = _packed_sorted_prefix(mean, cov, w, act) if sorted_w else \
+        jnp.stack([w, act.astype(w.dtype), mean[..., 0], mean[..., 1],
+                   cov[..., 0, 0], cov[..., 0, 1], cov[..., 1, 1]], axis=1)
+    ref = gm_merge_pallas_batch_packed(packed, 4.0, 16,
+                                       interpret=INTERPRET,
+                                       sorted_w=sorted_w)
+    got = gm_merge_pallas_batch_packed(packed, 4.0, 16, interpret=INTERPRET,
+                                       sorted_w=sorted_w, par_assign=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_merge_par_assign_bitequal_4d():
+    """4D prefix-claim assignment bit-equality (the mixed pipeline's
+    dynamic-map merge)."""
+    from phdslam_tpu.ops.pallas_merge import (_PAIRS4,
+                                              gm_merge_pallas_batch_packed_4d)
+    rng = np.random.default_rng(13)
+    P, N, K = 4, 48, 16
+    w = np.abs(rng.normal(1, 0.5, (P, N))).astype(np.float32)
+    act = (rng.random((P, N)) < 0.8).astype(np.float32)
+    w = w * act
+    order = np.argsort(-w, axis=1)
+    w = np.take_along_axis(w, order, axis=1)
+    act = np.take_along_axis(act, order, axis=1)
+    m4 = rng.uniform(-10, 10, (P, N, 4)).astype(np.float32)
+    base = rng.normal(size=(P, N, 4, 4)).astype(np.float32)
+    cov4 = np.einsum("pnij,pnkj->pnik", base, base) \
+        + 0.5 * np.eye(4, dtype=np.float32)
+    planes = [w, act] + [m4[..., i] for i in range(4)] \
+        + [cov4[..., a, b] for a, b in _PAIRS4]
+    packed = jnp.asarray(np.stack(planes, axis=1))
+    for sw in (False, True):
+        ref = gm_merge_pallas_batch_packed_4d(packed, 4.0, K,
+                                              interpret=INTERPRET,
+                                              sorted_w=sw)
+        got = gm_merge_pallas_batch_packed_4d(packed, 4.0, K,
+                                              interpret=INTERPRET,
+                                              sorted_w=sw, par_assign=True)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -46,7 +46,11 @@ def bench(P=512, K=128, M=32, T=100, fast=1, reps=3):
         # candidates never reach it at protocol scales; drops would be
         # overflow-counted)
         merge_candidate_cap_dynamic=int(os.environ.get("CAPD", "128")),
-        merge_block=int(os.environ.get("MBLK", "0")))
+        merge_block=int(os.environ.get("MBLK", "0")),
+        merge_par_assign=int(os.environ.get("PASSN", "0")),
+        merge_r_par=int(os.environ.get("RPAR", "8")),
+        **({"min_feature_weight": float(os.environ["MFW"])}
+           if os.environ.get("MFW") else {}))
     state = init_state(cfg)
 
     rng = np.random.default_rng(0)
