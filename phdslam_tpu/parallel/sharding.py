@@ -35,6 +35,21 @@ from ..types import FilterState, init_state
 
 PARTICLE_AXIS = "particle"
 
+# jitted-program caches keyed on (cfg, mesh, donate): a fresh jit wrapper
+# per call re-TRACES the whole scan on the host — tens of seconds at dense
+# shapes, and the third time this trap has bitten (round-1 per-call
+# re-tracing, round-3 _DSCAN_CACHE; round-5: run_sharded measured 12x
+# slower than run_scanned at dense P=10240 purely from per-call tracing)
+_SHARDED_FN_CACHE: dict = {}
+
+
+def _cache_key(cfg: SlamConfig, mesh: Mesh, donate: bool, kind: str):
+    import dataclasses
+    cfg_key = tuple((f.name, getattr(cfg, f.name))
+                    for f in dataclasses.fields(cfg))
+    mesh_key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+    return (kind, cfg_key, mesh_key, donate)
+
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     """Build the 1-D particle mesh over the available chips.
@@ -131,7 +146,13 @@ def make_sharded_step_fn(cfg: SlamConfig, mesh: Mesh, donate: bool = True):
 
     Returns ``step(state, z, z_mask, control, dt, do_predict) -> (state, out)``
     where the state stays resident and sharded across the mesh between calls.
+    The jitted program is cached per (cfg, mesh, donate) — see
+    ``_SHARDED_FN_CACHE``.
     """
+    key = _cache_key(cfg, mesh, donate, "step")
+    hit = _SHARDED_FN_CACHE.get(key)
+    if hit is not None:
+        return hit
     cfg = _cfg_for_mesh(cfg, mesh)
     example = init_state(cfg, mesh.devices.size)  # shapes only, for specs
     st_sh = state_shardings(mesh, example)
@@ -149,11 +170,13 @@ def make_sharded_step_fn(cfg: SlamConfig, mesh: Mesh, donate: bool = True):
         resample_idx=part, cardinality=repl)
 
     fn = functools.partial(phd_step, cfg=cfg, mesh=mesh)
-    return jax.jit(
+    jitted = jax.jit(
         fn,
         in_shardings=(st_sh, repl, repl, repl, repl, repl),
         out_shardings=(st_sh, out_sh),
         donate_argnums=(0,) if donate else ())
+    _SHARDED_FN_CACHE[key] = jitted
+    return jitted
 
 
 def disparity_state_shardings(mesh: Mesh, state):
@@ -207,7 +230,13 @@ def make_sharded_disparity_step_fn(cfg: SlamConfig, mesh: Mesh,
 def make_sharded_scan_fn(cfg: SlamConfig, mesh: Mesh, donate: bool = True):
     """Jit a whole-sequence lax.scan over the sharded step (run_scanned's
     device loop, but multi-chip). Inputs are the stacked per-step schedule
-    arrays; all T steps execute on device with ICI collectives only."""
+    arrays; all T steps execute on device with ICI collectives only.
+    Cached per (cfg, mesh, donate) — a fresh wrapper per call re-traces
+    the whole scan (see ``_SHARDED_FN_CACHE``)."""
+    key = _cache_key(cfg, mesh, donate, "scan")
+    hit = _SHARDED_FN_CACHE.get(key)
+    if hit is not None:
+        return hit
     cfg = _cfg_for_mesh(cfg, mesh)
     example = init_state(cfg, mesh.devices.size)
     st_sh = state_shardings(mesh, example)
@@ -230,8 +259,10 @@ def make_sharded_scan_fn(cfg: SlamConfig, mesh: Mesh, donate: bool = True):
             body, init, (z_idx, has_z, c_idx, has_c, dts, do_pred))
         return state, ys
 
-    return jax.jit(
+    jitted = jax.jit(
         run_all,
         in_shardings=(st_sh,) + (repl,) * 9,
         out_shardings=(st_sh, (repl, repl, repl, repl)),
         donate_argnums=(0,) if donate else ())
+    _SHARDED_FN_CACHE[key] = jitted
+    return jitted
